@@ -1,0 +1,129 @@
+"""Threaded (stackless) BVH flattening for the TPU traversal loop.
+
+The reference emits 4-wide MBVH nodes for CPU SIMD and binary nodes for
+GPU, both traversed with an explicit per-ray stack (reference:
+core/cpu_adapter.cpp:78-101, core/gpu_adapter.cpp:84-101).  A per-lane
+stack is hostile to a lane-synchronous vector machine, so we instead
+*thread* the depth-first tree with hit/miss skip links:
+
+    next = bbox_hit ? hit_link[node] : miss_link[node]
+
+which turns traversal into a branch-free per-lane state machine — one
+gather of node data + one select per step, no stack, no divergence beyond
+the per-lane node index.  Leaves are fixed 4-triangle packets (padded with
+degenerate triangles) so leaf intersection is a static-shape 4-wide
+Moller-Trumbore, echoing the reference's 4-tri SIMD packets
+(reference: core/cpu_adapter.cpp:130-141) but in a fully vectorised form.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .builder import BvhNodes
+
+LEAF_WIDTH = 4
+SENTINEL = np.int32(-1)
+
+
+@dataclass
+class ThreadedBvh:
+    """Flat traversal arrays (NumPy; converted to jnp at scene upload).
+
+    `hit_link[i]`  : node to visit when node i's bbox is hit
+                     (inner: left child; leaf: == miss_link, after the
+                     leaf packet is tested).
+    `miss_link[i]` : node to visit when the bbox test fails; -1 terminates.
+    `leaf_start[i]`: first entry of the leaf's packet in the packed
+                     triangle arrays (multiple of LEAF_WIDTH); -1 for inner
+                     nodes.
+    Packed triangles are in Moller-Trumbore form (v0, e1, e2) with the
+    original primitive id; padded slots have id -1 and never intersect.
+    """
+
+    node_min: np.ndarray      # (N, 3) f32
+    node_max: np.ndarray      # (N, 3) f32
+    hit_link: np.ndarray      # (N,) i32
+    miss_link: np.ndarray     # (N,) i32
+    leaf_start: np.ndarray    # (N,) i32
+    tri_v0: np.ndarray        # (P, 3) f32
+    tri_e1: np.ndarray        # (P, 3) f32
+    tri_e2: np.ndarray        # (P, 3) f32
+    tri_id: np.ndarray        # (P,) i32, -1 = padding
+    stats: dict = field(default_factory=dict)
+
+
+def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> ThreadedBvh:
+    """Thread a DFS-ordered binary BVH and pack leaf triangle packets.
+
+    v0/v1/v2: (T, 3) world-space triangle vertices indexed by
+    `nodes.prim_ids` entries.
+    """
+    n = nodes.right.shape[0]
+    hit_link = np.empty(n, np.int32)
+    miss_link = np.empty(n, np.int32)
+    leaf_start = np.full(n, SENTINEL, np.int32)
+
+    is_leaf = nodes.right == -1
+    num_leaves = int(is_leaf.sum())
+    packets = np.full((num_leaves * LEAF_WIDTH,), -1, np.int64)
+
+    # DFS walk carrying the miss target; left child = i + 1 by construction.
+    leaf_cursor = 0
+    stack = [(0, -1)]
+    while stack:
+        i, miss = stack.pop()
+        miss_link[i] = miss
+        if is_leaf[i]:
+            hit_link[i] = miss
+            cnt = int(nodes.count[i])
+            assert 0 < cnt <= LEAF_WIDTH, f"leaf {i} has {cnt} prims"
+            base = leaf_cursor * LEAF_WIDTH
+            ids = nodes.prim_ids[nodes.start[i] : nodes.start[i] + cnt]
+            packets[base : base + cnt] = ids
+            leaf_start[i] = base
+            leaf_cursor += 1
+        else:
+            right = int(nodes.right[i])
+            hit_link[i] = i + 1
+            stack.append((right, miss))
+            stack.append((i + 1, right))
+
+    # Gather packed triangle data; padding slots get a degenerate triangle
+    # far away so the intersection test trivially rejects them.
+    pad = packets < 0
+    safe = np.where(pad, 0, packets)
+    pv0 = v0[safe].astype(np.float32)
+    pv1 = v1[safe].astype(np.float32)
+    pv2 = v2[safe].astype(np.float32)
+    pv0[pad] = 1e30
+    pv1[pad] = 1e30
+    pv2[pad] = 1e30
+
+    depth = _max_depth(nodes)
+    return ThreadedBvh(
+        node_min=nodes.bbox_min,
+        node_max=nodes.bbox_max,
+        hit_link=hit_link,
+        miss_link=miss_link,
+        leaf_start=leaf_start,
+        tri_v0=pv0,
+        tri_e1=pv1 - pv0,
+        tri_e2=pv2 - pv0,
+        tri_id=packets.astype(np.int32),
+        stats={"nodes": n, "leaves": num_leaves, "max_depth": depth},
+    )
+
+
+def _max_depth(nodes: BvhNodes) -> int:
+    depth = 0
+    stack = [(0, 1)]
+    while stack:
+        i, d = stack.pop()
+        depth = max(depth, d)
+        if nodes.right[i] != -1:
+            stack.append((i + 1, d + 1))
+            stack.append((int(nodes.right[i]), d + 1))
+    return depth

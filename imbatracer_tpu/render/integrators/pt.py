@@ -1,0 +1,211 @@
+"""Wavefront path tracer with NEE + MIS, as one on-device megastep.
+
+Algorithm parity with the reference PathTracer (reference:
+render/integrators/pt.cpp): per-vertex emitter-hit MIS with area->solid-
+angle pdf conversion (pt.cpp:133-151), environment-miss shading
+(pt.cpp:95-116), one uniformly-chosen light per vertex for NEE
+(compute_direct_illum, pt.cpp:17-44), BSDF bounce with Russian roulette
+and a path-length cap (bounce, pt.cpp:46-80).
+
+Architecture is inverted from the reference: instead of host threads
+draining tile queues with per-bounce device round trips
+(ray_queue.h:277-292), the *whole* frame is a single jitted program — a
+`lax.fori_loop` over bounces; every iteration traverses, shades and
+extends all rays with active-lane masks.  Queue compaction
+(ray_queue.h:161-207) becomes lane masking; the material sort
+(ray_queue.h:211-244) becomes branchless all-material shading; the atomic
+framebuffer becomes one segment-sum at the end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...core import rng as rng_mod
+from ...core.sampling import mis_power_heuristic, russian_roulette_prob
+from ...core.vecmath import dot, normalize
+from .. import envmap as envmap_mod
+from .. import lights as light_mod
+from .. import materials as mat_mod
+from ..camera import Camera, generate_ray
+from ..film import splat
+from ..intersect import BIG
+from ..surface import make_interaction
+from ..traverse import any_hit, closest_hit
+
+
+def _alpha_fn_for(scene):
+    """Transparency-mask hook for traversal, or None if the scene has no
+    alpha-masked materials (static; decided at trace time)."""
+    mask_tex = scene.materials.mask_tex
+
+    def alpha_fn(prim_ids, u4, v4):
+        from ...scene.textures import sample_mask
+
+        prim = jnp.maximum(prim_ids, 0)
+        attrs = scene.attrs
+        mt = mask_tex[attrs.mat_id[prim]]
+        w0 = 1.0 - u4 - v4
+        uv = (
+            w0[..., None] * attrs.uv0[prim]
+            + u4[..., None] * attrs.uv1[prim]
+            + v4[..., None] * attrs.uv2[prim]
+        )
+        return sample_mask(scene.textures, mt, uv[..., 0], uv[..., 1])
+
+    return alpha_fn
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_len", "has_masks", "has_bump"))
+def render_pt_frame(
+    scene,
+    cam: Camera,
+    frame: jnp.ndarray,
+    width: int,
+    height: int,
+    spp: int = 1,
+    max_len: int = 8,
+    has_masks: bool = False,
+    has_bump: bool = False,
+):
+    """Render one progressive frame; returns an un-normalised (H*W, 3)
+    radiance-sum film (divide by frames*spp for display, as the render
+    window does, render_window.cpp:99-121)."""
+    num_pixels = width * height
+    num_rays = num_pixels * spp
+
+    pixel_id = jnp.tile(jnp.arange(num_pixels, dtype=jnp.int32), spp)
+    sample_id = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), num_pixels)
+    state = rng_mod.seed(pixel_id, sample_id, frame)
+
+    state, (jx, jy) = rng_mod.next_floats(state, 2)
+    px = (pixel_id % width).astype(jnp.float32) + jx
+    py = (pixel_id // width).astype(jnp.float32) + jy
+    org, d = generate_ray(cam, px, py)
+
+    alpha_fn = _alpha_fn_for(scene) if has_masks else None
+    num_lights = scene.lights.kind.shape[0]
+
+    carry = dict(
+        org=org,
+        d=d,
+        tmin=jnp.zeros((num_rays,), jnp.float32),
+        throughput=jnp.ones((num_rays, 3), jnp.float32),
+        radiance=jnp.zeros((num_rays, 3), jnp.float32),
+        active=jnp.ones((num_rays,), jnp.bool_),
+        last_pdf=jnp.ones((num_rays,), jnp.float32),
+        last_specular=jnp.ones((num_rays,), jnp.bool_),
+        state=state,
+    )
+
+    def bounce_body(i, c):
+        hit = closest_hit(
+            scene.bvh, c["org"], c["d"], c["tmin"], BIG,
+            alpha_fn=alpha_fn, active=c["active"],
+        )
+
+        # ---- environment misses (pt.cpp:95-116) ------------------------
+        miss = c["active"] & (hit.prim_id < 0)
+        radiance = c["radiance"]
+        if scene.env is not None:
+            li, pdf_direct_w, _ = envmap_mod.radiance(
+                scene.env, normalize(c["d"]), scene.bsphere.inv_radius_sqr
+            )
+            pdf_di = pdf_direct_w / num_lights
+            w = jnp.where(
+                (i == 0) | c["last_specular"],
+                1.0,
+                mis_power_heuristic(c["last_pdf"], pdf_di),
+            )
+            radiance = radiance + jnp.where(
+                miss[..., None], c["throughput"] * li * w[..., None], 0.0
+            )
+        active = c["active"] & ~miss
+
+        isect = make_interaction(scene, hit, c["org"], c["d"], has_bump=has_bump)
+
+        # ---- emitter hits (pt.cpp:133-151) -----------------------------
+        is_emitter = active & (isect.light_id >= 0)
+        lrow = jnp.maximum(isect.light_id, 0)
+        cos_geom = dot(isect.gn, isect.w_out)
+        cos_shade = dot(isect.normal, isect.w_out)
+        emit_intensity = scene.lights.intensity[lrow]
+        area = jnp.maximum(scene.lights.area[lrow], 1e-12)
+        d_sqr = hit.t * hit.t
+        pdf_di_emit = (1.0 / area) / num_lights * d_sqr / jnp.where(
+            cos_shade <= 0.0, 1.0, cos_shade
+        )
+        w_emit = jnp.where(
+            (i == 0) | c["last_specular"],
+            1.0,
+            mis_power_heuristic(c["last_pdf"], pdf_di_emit),
+        )
+        emit_ok = is_emitter & (cos_geom > 0.0) & (cos_shade > 0.0)
+        radiance = radiance + jnp.where(
+            emit_ok[..., None], c["throughput"] * emit_intensity * w_emit[..., None], 0.0
+        )
+        active = active & ~is_emitter  # emitter hits terminate (pt.cpp:152)
+
+        # ---- next-event estimation (pt.cpp:17-44) ----------------------
+        st = c["state"]
+        st, (ul, ua, ub) = rng_mod.next_floats(st, 3)
+        light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
+        ds = light_mod.sample_direct(
+            scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
+        )
+        f_nee = mat_mod.eval_bsdf(
+            isect.params, isect.normal, isect.gn, isect.w_out, ds.dir
+        )
+        pdf_hit = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
+        pdf_lightpick = 1.0 / num_lights
+        pdf_di = pdf_lightpick * ds.pdf_direct_w
+        w_nee = jnp.where(ds.is_delta, 1.0, pdf_di / jnp.maximum(pdf_di + pdf_hit, 1e-20))
+        contrib = (
+            c["throughput"]
+            * f_nee
+            * ds.radiance
+            * (jnp.abs(dot(isect.normal, ds.dir)) * w_nee / pdf_lightpick)[..., None]
+        )
+        shadow_ok = (
+            active
+            & (pdf_hit > 0.0)
+            & (pdf_di > 0.0)
+            & jnp.any(contrib > 0.0, axis=-1)
+        )
+        offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
+        occluded = any_hit(
+            scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
+            alpha_fn=alpha_fn, active=shadow_ok,
+        )
+        radiance = radiance + jnp.where((shadow_ok & ~occluded)[..., None], contrib, 0.0)
+
+        # ---- bounce (pt.cpp:46-80) -------------------------------------
+        st, (urr, u1, u2, u3) = rng_mod.next_floats(st, 4)
+        rr_pdf = russian_roulette_prob(c["throughput"])
+        survive = urr < rr_pdf
+        wi, f, pdf, spec, valid = mat_mod.sample_bsdf(
+            isect.params, isect.normal, isect.gn, isect.w_out, u1, u2, u3
+        )
+        cos_term = jnp.abs(dot(isect.normal, wi))
+        new_throughput = (
+            c["throughput"] * f * (cos_term / jnp.maximum(pdf * rr_pdf, 1e-20))[..., None]
+        )
+        active = active & survive & valid & (i + 1 < max_len)
+
+        return dict(
+            org=jnp.where(active[..., None], isect.pos, c["org"]),
+            d=jnp.where(active[..., None], wi, c["d"]),
+            tmin=jnp.where(active, 1e-3 * hit.t, c["tmin"]),
+            throughput=jnp.where(active[..., None], new_throughput, c["throughput"]),
+            radiance=radiance,
+            active=active,
+            last_pdf=jnp.where(active, pdf, c["last_pdf"]),
+            last_specular=jnp.where(active, spec, c["last_specular"]),
+            state=st,
+        )
+
+    out = jax.lax.fori_loop(0, max_len, bounce_body, carry)
+    return splat(out["radiance"], pixel_id, num_pixels)

@@ -1,0 +1,318 @@
+"""Branchless, batched BSDF evaluation/sampling/pdf for all material kinds.
+
+The reference dispatches through virtual BxDF objects placement-allocated in
+per-thread arenas (reference: render/materials/materials.h,
+bsdf.h:118-199, brdfs.h, btdfs.h, fresnel.h).  On TPU there is no dispatch:
+materials live in an SoA table, every kind's math is evaluated for every
+lane and the result selected by the kind id — four cheap formula blocks vs.
+a gather-scatter of control flow.
+
+Model parity (formulas match the reference exactly unless noted):
+- DIFFUSE : Lambertian kd/pi                           (brdfs.h:8-20)
+- MIRROR  : delta reflection, conductor Fresnel with
+            (eta=1, kappa=ns), scale ks               (brdfs.h:22-46,
+            materials.h MirrorMaterial; fresnel.h:8-22)
+- GLASS   : delta reflection (ks) + delta transmission (tf), dielectric
+            Fresnel (1.0 : ni), component chosen with probability
+            1 - Fr ("importance", btdfs.h:55-58); radiance transport
+            scales transmission by (eta_i/eta_t)^2, adjoint (light
+            tracing) does not                          (btdfs.h:6-65)
+- GLOSSY  : 0.5 * (CookTorrance(ks, Fresnel(1, ns), ns) + Lambertian(kd))
+            with Blinn half-vector distribution       (brdfs.h:146-227,
+            bsdf.h CombineBxDF)
+
+Deliberate improvement over the reference: for GLOSSY sampling we return
+the *full* combined f and the *mixture* pdf (0.5 pa + 0.5 pb) instead of
+the chosen component's f and pdf (bsdf.h:84-89) — equally unbiased, lower
+variance, and consistent with pdf() used for MIS.
+
+The PBRT-style light-leak fix is kept: the geometric normal decides
+whether reflection or transmission applies (bsdf.h:125-145), and samples
+that land on the wrong geometric side are rejected (bsdf.h:188-193).
+
+All directions are in world space; `wo` points away from the surface.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+from ..core.sampling import (
+    INV_PI,
+    PI,
+    cos_hemisphere_pdf,
+    sample_cos_hemisphere,
+    to_local,
+    to_world,
+)
+from ..core.vecmath import dot, where3
+
+MAT_DIFFUSE = 0
+MAT_MIRROR = 1
+MAT_GLASS = 2
+MAT_GLOSSY = 3
+
+
+@flax.struct.dataclass
+class MaterialTable:
+    """SoA material storage; one row per scene material."""
+
+    kind: jnp.ndarray      # (M,) i32
+    kd: jnp.ndarray        # (M, 3) diffuse albedo (DIFFUSE, GLOSSY)
+    ks: jnp.ndarray        # (M, 3) specular scale / reflectance
+    tf: jnp.ndarray        # (M, 3) glass transmittance
+    ns: jnp.ndarray        # (M,)  exponent (GLOSSY) / conductor kappa (MIRROR)
+    ior: jnp.ndarray       # (M,)  glass interior index of refraction
+    emit: jnp.ndarray      # (M, 3) emission intensity (area lights)
+    kd_tex: jnp.ndarray    # (M,) i32 texture id, -1 = none
+    bump_tex: jnp.ndarray  # (M,) i32
+    mask_tex: jnp.ndarray  # (M,) i32 alpha mask id, -1 = opaque
+
+
+class MatParams(dict):
+    """Per-ray gathered material parameters (kind, kd, ks, tf, ns, ior).
+
+    kd is post-texture-lookup.  Plain dict so it stays a pytree.
+    """
+
+
+def gather_params(table: MaterialTable, mat_id: jnp.ndarray, kd_override=None) -> MatParams:
+    m = jnp.maximum(mat_id, 0)
+    kd = table.kd[m] if kd_override is None else kd_override
+    return MatParams(
+        kind=table.kind[m],
+        kd=kd,
+        ks=table.ks[m],
+        tf=table.tf[m],
+        ns=table.ns[m],
+        ior=table.ior[m],
+    )
+
+
+def is_specular(p: MatParams) -> jnp.ndarray:
+    return (p["kind"] == MAT_MIRROR) | (p["kind"] == MAT_GLASS)
+
+
+# ---------------------------------------------------------------- fresnel
+
+def fresnel_conductor(cos_i, eta, kappa):
+    """(fresnel.h:8-22); approximate conductor Fresnel."""
+    c2 = cos_i * cos_i
+    ekc = (eta * eta + kappa * kappa) * c2
+    two_ec = 2.0 * eta * cos_i
+    par = (ekc - two_ec + 1.0) / (ekc + two_ec + 1.0)
+    ek = eta * eta + kappa * kappa
+    perp = (ek - two_ec + c2) / (ek + two_ec + c2)
+    return 0.5 * (par + perp)
+
+
+def fresnel_dielectric(cos_i_signed, eta_outside, eta_inside):
+    """(fresnel.h:24-31, 58-75). cos_i_signed: cos against the shading
+    normal; sign selects which medium the ray arrives from."""
+    entering = cos_i_signed > 0.0
+    eta_i = jnp.where(entering, eta_outside, eta_inside)
+    eta_t = jnp.where(entering, eta_inside, eta_outside)
+    cos_i = jnp.abs(cos_i_signed)
+    sin_t = eta_i / eta_t * jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    tir = sin_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    par = (eta_t * cos_i - eta_i * cos_t) / jnp.maximum(eta_t * cos_i + eta_i * cos_t, 1e-20)
+    perp = (eta_i * cos_i - eta_t * cos_t) / jnp.maximum(eta_i * cos_i + eta_t * cos_t, 1e-20)
+    fr = 0.5 * (par * par + perp * perp)
+    return jnp.where(tir, 1.0, fr)
+
+
+# ------------------------------------------------------------ cook-torrance
+
+def _ct_d(cos_h, ns):
+    return (ns + 2.0) / (2.0 * PI) * jnp.power(jnp.maximum(jnp.abs(cos_h), 1e-12), ns)
+
+
+def _ct_g(lo, li, h):
+    o_dot_h = jnp.maximum(jnp.sum(lo * h, axis=-1), 1e-12)
+    a = 2.0 * jnp.abs(h[..., 2]) * jnp.abs(lo[..., 2]) / o_dot_h
+    b = 2.0 * jnp.abs(h[..., 2]) * jnp.abs(li[..., 2]) / o_dot_h
+    return jnp.minimum(1.0, jnp.minimum(a, b))
+
+
+def _ct_eval(ks, ns, lo, li):
+    """Cook-Torrance with Blinn D (brdfs.h:154-172)."""
+    h = lo + li
+    h_len = jnp.sqrt(jnp.maximum(jnp.sum(h * h, axis=-1, keepdims=True), 1e-20))
+    h = h / h_len
+    cos_half = jnp.sum(li * h, axis=-1)
+    fr = fresnel_conductor(cos_half, 1.0, ns)
+    d = _ct_d(h[..., 2], ns)
+    g = _ct_g(lo, li, h)
+    denom = 4.0 * jnp.maximum(jnp.abs(li[..., 2]) * jnp.abs(lo[..., 2]), 1e-12)
+    same_hemi = lo[..., 2] * li[..., 2] > 0.0
+    val = ks * ((d * g * fr) / denom)[..., None]
+    return jnp.where(same_hemi[..., None], val, 0.0)
+
+
+def _ct_pdf(ns, lo, li):
+    """Blinn half-vector pdf (brdfs.h:216-226)."""
+    h = lo + li
+    h_len = jnp.sqrt(jnp.maximum(jnp.sum(h * h, axis=-1, keepdims=True), 1e-20))
+    h = h / h_len
+    o_dot_h = jnp.sum(lo * h, axis=-1)
+    same_hemi = lo[..., 2] * li[..., 2] > 0.0
+    pdf = (ns + 1.0) * jnp.power(jnp.maximum(jnp.abs(h[..., 2]), 1e-12), ns) / (
+        2.0 * PI * 4.0 * jnp.maximum(o_dot_h, 1e-12)
+    )
+    return jnp.where(same_hemi & (o_dot_h > 0.0), pdf, 0.0)
+
+
+def _ct_sample(ns, lo, u1, u2):
+    """Sample the Blinn distribution, reflect about the half vector
+    (brdfs.h:194-214). Returns (li, pdf)."""
+    c_theta = jnp.power(u1, 1.0 / (ns + 1.0))
+    s_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - c_theta * c_theta))
+    phi = u2 * 2.0 * PI
+    h = jnp.stack([s_theta * jnp.cos(phi), s_theta * jnp.sin(phi), c_theta], axis=-1)
+    flip = (lo[..., 2] * h[..., 2]) <= 0.0
+    h = jnp.where(flip[..., None], -h, h)
+    o_dot_h = jnp.sum(lo * h, axis=-1)
+    li = -lo + 2.0 * o_dot_h[..., None] * h
+    pdf = (ns + 1.0) * jnp.power(c_theta, ns) / (
+        2.0 * PI * 4.0 * jnp.maximum(o_dot_h, 1e-12)
+    )
+    pdf = jnp.where(o_dot_h > 0.0, pdf, 1.0)  # value is 0 there; avoid NaN
+    return li, pdf
+
+
+# ---------------------------------------------------------------- eval/pdf
+
+def _lambert_eval(kd, lo, li):
+    same = lo[..., 2] * li[..., 2] > 0.0
+    return jnp.where(same[..., None], kd * INV_PI, 0.0)
+
+
+def eval_bsdf(p: MatParams, n, gn, wo, wi, adjoint: bool = False):
+    """BSDF value for given directions; zero for delta materials.
+
+    Matches BSDF::eval's geometric-side selection (bsdf.h:125-145).
+    """
+    lo = to_local(wo, n)
+    li = to_local(wi, n)
+    same_geom = dot(wo, gn) * dot(wi, gn) > 0.0
+
+    f_diff = _lambert_eval(p["kd"], lo, li)
+    f_glossy = 0.5 * (_ct_eval(p["ks"], p["ns"], lo, li) + _lambert_eval(p["kd"], lo, li))
+
+    kind = p["kind"]
+    f = jnp.zeros_like(f_diff)
+    f = where3(kind == MAT_DIFFUSE, f_diff, f)
+    f = where3(kind == MAT_GLOSSY, f_glossy, f)
+    # Reflection-only materials contribute nothing across the surface.
+    return where3(same_geom, f, jnp.zeros_like(f))
+
+
+def pdf_bsdf(p: MatParams, n, gn, wo, wi):
+    """Solid-angle pdf of sample_bsdf picking wi; zero for delta kinds."""
+    lo = to_local(wo, n)
+    li = to_local(wi, n)
+    same_geom = dot(wo, gn) * dot(wi, gn) > 0.0
+    same_hemi = lo[..., 2] * li[..., 2] > 0.0
+
+    pdf_cos = jnp.where(same_hemi, cos_hemisphere_pdf(jnp.abs(li[..., 2])), 0.0)
+    pdf_glossy = 0.5 * (_ct_pdf(p["ns"], lo, li) + pdf_cos)
+
+    kind = p["kind"]
+    pdf = jnp.zeros_like(pdf_cos)
+    pdf = jnp.where(kind == MAT_DIFFUSE, pdf_cos, pdf)
+    pdf = jnp.where(kind == MAT_GLOSSY, pdf_glossy, pdf)
+    return jnp.where(same_geom, pdf, 0.0)
+
+
+# ------------------------------------------------------------------ sample
+
+def sample_bsdf(p: MatParams, n, gn, wo, u1, u2, u3, adjoint: bool = False):
+    """Sample an incoming direction.
+
+    Returns (wi, f, pdf, specular_mask, valid_mask).  `f` excludes the
+    cosine term; `pdf` includes component-choice probabilities.
+    """
+    lo = to_local(wo, n)
+    kind = p["kind"]
+    sign_o = jnp.where(lo[..., 2] >= 0.0, 1.0, -1.0)
+
+    # --- DIFFUSE / GLOSSY shared cosine-hemisphere proposal ------------
+    d_cos, _ = sample_cos_hemisphere(u1, u2)
+    d_cos = d_cos.at[..., 2].multiply(sign_o)  # stay in wo's hemisphere
+
+    # --- GLOSSY: 50/50 Blinn vs cosine (bsdf.h:84-89) ------------------
+    li_blinn, _ = _ct_sample(p["ns"], lo, u1, u2)
+    choose_blinn = u3 < 0.5
+    li_glossy = where3(choose_blinn, li_blinn, d_cos)
+
+    # --- MIRROR delta reflection ---------------------------------------
+    li_mirror = jnp.stack([-lo[..., 0], -lo[..., 1], lo[..., 2]], axis=-1)
+    fr_cond = fresnel_conductor(lo[..., 2], 1.0, p["ns"])
+    f_mirror = p["ks"] * (fr_cond / jnp.maximum(jnp.abs(lo[..., 2]), 1e-12))[..., None]
+
+    # --- GLASS: reflection or transmission by 1 - Fr -------------------
+    fr_diel = fresnel_dielectric(lo[..., 2], 1.0, p["ior"])
+    btdf_prob = 1.0 - fr_diel
+    choose_trans = u3 < btdf_prob
+    entering = lo[..., 2] > 0.0
+    eta_i = jnp.where(entering, 1.0, p["ior"])
+    eta_t = jnp.where(entering, p["ior"], 1.0)
+    eta_frac = eta_i / eta_t
+    sin_i_sqr = jnp.maximum(0.0, 1.0 - lo[..., 2] * lo[..., 2])
+    sin_t_sqr = eta_frac * eta_frac * sin_i_sqr
+    tir = sin_t_sqr >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t_sqr))
+    cos_t = jnp.where(entering, -cos_t, cos_t)
+    li_trans = jnp.stack(
+        [-eta_frac * lo[..., 0], -eta_frac * lo[..., 1], cos_t], axis=-1
+    )
+    li_trans = jnp.where(tir[..., None], li_mirror, li_trans)
+    radiance_factor = jnp.where(adjoint, 1.0, eta_frac * eta_frac)
+    f_trans = p["tf"] * (
+        radiance_factor
+        * (1.0 - fr_diel)
+        / jnp.maximum(jnp.abs(li_trans[..., 2]), 1e-12)
+    )[..., None]
+    f_trans = jnp.where(tir[..., None], 0.0, f_trans)
+    f_glass_refl = p["ks"] * (fr_diel / jnp.maximum(jnp.abs(lo[..., 2]), 1e-12))[..., None]
+    li_glass = where3(choose_trans, li_trans, li_mirror)
+    f_glass = where3(choose_trans, f_trans, f_glass_refl)
+    pdf_glass = jnp.where(choose_trans, btdf_prob, 1.0 - btdf_prob)
+
+    # --- select per kind ------------------------------------------------
+    li = where3(kind == MAT_DIFFUSE, d_cos, li_glossy)
+    li = where3(kind == MAT_MIRROR, li_mirror, li)
+    li = where3(kind == MAT_GLASS, li_glass, li)
+
+    wi = to_world(li, n)
+
+    # f / pdf for the scattering kinds evaluated at the sampled direction.
+    f_diff = _lambert_eval(p["kd"], lo, li)
+    pdf_diff = jnp.where(
+        lo[..., 2] * li[..., 2] > 0.0, cos_hemisphere_pdf(jnp.abs(li[..., 2])), 0.0
+    )
+    f_glossy = 0.5 * (_ct_eval(p["ks"], p["ns"], lo, li) + _lambert_eval(p["kd"], lo, li))
+    pdf_glossy = 0.5 * (_ct_pdf(p["ns"], lo, li) + pdf_diff)
+
+    f = where3(kind == MAT_DIFFUSE, f_diff, jnp.zeros_like(f_diff))
+    f = where3(kind == MAT_GLOSSY, f_glossy, f)
+    f = where3(kind == MAT_MIRROR, f_mirror, f)
+    f = where3(kind == MAT_GLASS, f_glass, f)
+
+    pdf = jnp.where(kind == MAT_DIFFUSE, pdf_diff, jnp.zeros_like(pdf_diff))
+    pdf = jnp.where(kind == MAT_GLOSSY, pdf_glossy, pdf)
+    pdf = jnp.where(kind == MAT_MIRROR, 1.0, pdf)
+    pdf = jnp.where(kind == MAT_GLASS, pdf_glass, pdf)
+
+    spec = is_specular(p)
+
+    # Geometric-side consistency (bsdf.h:188-193): reflections must stay on
+    # wo's geometric side, transmissions must cross.
+    same_geom = dot(wo, gn) * dot(wi, gn) > 0.0
+    is_transmission = (kind == MAT_GLASS) & choose_trans & ~tir
+    side_ok = jnp.where(is_transmission, ~same_geom, same_geom)
+    valid = side_ok & (pdf > 0.0) & jnp.any(f != 0.0, axis=-1)
+
+    return wi, f, pdf, spec, valid

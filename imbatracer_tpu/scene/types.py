@@ -1,0 +1,73 @@
+"""Device-resident scene representation (one pytree, fully SoA).
+
+Replaces the reference's `Scene` object (reference: render/scene.h:29-141)
+— its mesh/instance/material/light containers and `anydsl::Array` device
+buffers — with flat jnp arrays.  Instances are resolved at build time into
+world-space triangles (the TPU answer to two-level instanced traversal:
+regular data instead of per-ray transform indirection; the per-triangle
+`inst_id`/`local_tri_id` mapping the reference reconstructs at shading
+time, scene.h:81-83, is kept as explicit arrays).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.struct
+import jax.numpy as jnp
+
+from ..accel.device import DeviceBvh
+from ..render.envmap import EnvMapData
+from ..render.lights import BSphere, LightTable
+from ..render.materials import MaterialTable
+from .textures import TextureAtlas
+
+
+@flax.struct.dataclass
+class TriAttrs:
+    """Per flat (world-space) triangle shading attributes."""
+
+    n0: jnp.ndarray       # (F, 3) shading normal at vert 0
+    n1: jnp.ndarray       # (F, 3)
+    n2: jnp.ndarray       # (F, 3)
+    uv0: jnp.ndarray      # (F, 2)
+    uv1: jnp.ndarray      # (F, 2)
+    uv2: jnp.ndarray      # (F, 2)
+    gn: jnp.ndarray       # (F, 3) geometric normal
+    mat_id: jnp.ndarray   # (F,) i32
+    light_id: jnp.ndarray  # (F,) i32, -1 unless the triangle is an emitter
+    inst_id: jnp.ndarray  # (F,) i32 source instance
+    local_id: jnp.ndarray  # (F,) i32 triangle id within the source mesh
+
+
+@flax.struct.dataclass
+class DeviceScene:
+    bvh: DeviceBvh
+    attrs: TriAttrs
+    materials: MaterialTable
+    lights: LightTable
+    textures: TextureAtlas
+    bsphere: BSphere
+    env: Optional[EnvMapData] = None
+
+    @property
+    def num_lights(self):
+        return self.lights.kind.shape[0]
+
+
+@dataclass
+class SceneMeta:
+    """Host-side static facts about a built scene."""
+
+    name: str = ""
+    num_tris: int = 0
+    num_materials: int = 0
+    num_lights: int = 0
+    num_textures: int = 0
+    has_env: bool = False
+    has_masks: bool = False
+    cam_pos: tuple = (0.0, 0.0, 0.0)
+    cam_dir: tuple = (0.0, 0.0, -1.0)
+    cam_up: tuple = (0.0, 1.0, 0.0)
+    bvh_stats: dict = None

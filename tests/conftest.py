@@ -1,0 +1,29 @@
+"""Test config: run on CPU with 8 virtual devices so multi-chip sharding
+paths are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+# Persistent compilation cache: XLA compiles each unique op graph once per
+# machine instead of once per pytest run (cold compiles dominate runtime).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imbatracer_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+
+import pytest  # noqa: E402
+
+REFERENCE_SCENES = "/root/reference/test/scenes"
+REFERENCE_IMAGES = "/root/reference/test/references"
+
+
+@pytest.fixture(scope="session")
+def cornell_scene_path():
+    import os.path
+
+    p = os.path.join(REFERENCE_SCENES, "cornell", "cornell_org.scene")
+    if not os.path.exists(p):
+        pytest.skip("reference cornell scene not available")
+    return p
