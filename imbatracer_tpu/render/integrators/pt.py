@@ -15,6 +15,9 @@ extends all rays with active-lane masks.  Queue compaction
 (ray_queue.h:161-207) becomes lane masking; the material sort
 (ray_queue.h:211-244) becomes branchless all-material shading; the atomic
 framebuffer becomes one segment-sum at the end.
+
+`trace_paths` is the shard-agnostic core: the single-chip frame renderer
+and the shard_map multi-chip path (parallel/shard.py) both call it.
 """
 
 from __future__ import annotations
@@ -37,9 +40,9 @@ from ..surface import make_interaction
 from ..traverse import any_hit, closest_hit
 
 
-def _alpha_fn_for(scene):
-    """Transparency-mask hook for traversal, or None if the scene has no
-    alpha-masked materials (static; decided at trace time)."""
+def alpha_fn_for(scene):
+    """Transparency-mask hook for traversal (the reference's "masked"
+    kernel variants); None-able at call sites for mask-free scenes."""
     mask_tex = scene.materials.mask_tex
 
     def alpha_fn(prim_ids, u4, v4):
@@ -59,46 +62,39 @@ def _alpha_fn_for(scene):
     return alpha_fn
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "max_len", "has_masks", "has_bump"))
-def render_pt_frame(
+def trace_paths(
     scene,
-    cam: Camera,
-    frame: jnp.ndarray,
-    width: int,
-    height: int,
-    spp: int = 1,
-    max_len: int = 8,
+    org,
+    d,
+    state,
+    max_len: int,
     has_masks: bool = False,
     has_bump: bool = False,
+    with_stats: bool = False,
 ):
-    """Render one progressive frame; returns an un-normalised (H*W, 3)
-    radiance-sum film (divide by frames*spp for display, as the render
-    window does, render_window.cpp:99-121)."""
-    num_pixels = width * height
-    num_rays = num_pixels * spp
+    """Trace a batch of camera paths to completion.
 
-    pixel_id = jnp.tile(jnp.arange(num_pixels, dtype=jnp.int32), spp)
-    sample_id = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), num_pixels)
-    state = rng_mod.seed(pixel_id, sample_id, frame)
-
-    state, (jx, jy) = rng_mod.next_floats(state, 2)
-    px = (pixel_id % width).astype(jnp.float32) + jx
-    py = (pixel_id // width).astype(jnp.float32) + jy
-    org, d = generate_ray(cam, px, py)
-
-    alpha_fn = _alpha_fn_for(scene) if has_masks else None
+    org/d: (R, 3) primary rays; state: (R,) RNG states.
+    Returns per-ray accumulated radiance (R, 3); with stats, also a scalar
+    count of traced rays (closest-hit + occlusion), the quantity the
+    reference's schedulers report (tile_scheduler.h:59-61).
+    """
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
     num_lights = scene.lights.kind.shape[0]
 
+    # Inits derived from inputs so they stay device-varying under shard_map.
+    zeros1 = jnp.zeros_like(org[:, 0])
     carry = dict(
         org=org,
         d=d,
-        tmin=jnp.zeros((num_rays,), jnp.float32),
-        throughput=jnp.ones((num_rays, 3), jnp.float32),
-        radiance=jnp.zeros((num_rays, 3), jnp.float32),
-        active=jnp.ones((num_rays,), jnp.bool_),
-        last_pdf=jnp.ones((num_rays,), jnp.float32),
-        last_specular=jnp.ones((num_rays,), jnp.bool_),
+        tmin=zeros1,
+        throughput=jnp.ones_like(org),
+        radiance=jnp.zeros_like(org),
+        active=zeros1 < 1.0,
+        last_pdf=zeros1 + 1.0,
+        last_specular=zeros1 < 1.0,
         state=state,
+        n_rays=jnp.sum(jnp.zeros_like(org[:1, 0], dtype=jnp.int32)),
     )
 
     def bounce_body(i, c):
@@ -106,6 +102,7 @@ def render_pt_frame(
             scene.bvh, c["org"], c["d"], c["tmin"], BIG,
             alpha_fn=alpha_fn, active=c["active"],
         )
+        n_rays = c["n_rays"] + jnp.sum(c["active"].astype(jnp.int32))
 
         # ---- environment misses (pt.cpp:95-116) ------------------------
         miss = c["active"] & (hit.prim_id < 0)
@@ -181,6 +178,7 @@ def render_pt_frame(
             alpha_fn=alpha_fn, active=shadow_ok,
         )
         radiance = radiance + jnp.where((shadow_ok & ~occluded)[..., None], contrib, 0.0)
+        n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
 
         # ---- bounce (pt.cpp:46-80) -------------------------------------
         st, (urr, u1, u2, u3) = rng_mod.next_floats(st, 4)
@@ -205,7 +203,53 @@ def render_pt_frame(
             last_pdf=jnp.where(active, pdf, c["last_pdf"]),
             last_specular=jnp.where(active, spec, c["last_specular"]),
             state=st,
+            n_rays=n_rays,
         )
 
     out = jax.lax.fori_loop(0, max_len, bounce_body, carry)
-    return splat(out["radiance"], pixel_id, num_pixels)
+    if with_stats:
+        return out["radiance"], out["n_rays"]
+    return out["radiance"]
+
+
+def camera_rays(cam: Camera, width: int, height: int, spp: int, frame):
+    """Jittered primary rays + per-ray RNG state + pixel ids."""
+    num_pixels = width * height
+    pixel_id = jnp.tile(jnp.arange(num_pixels, dtype=jnp.int32), spp)
+    sample_id = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), num_pixels)
+    state = rng_mod.seed(pixel_id, sample_id, frame)
+    state, (jx, jy) = rng_mod.next_floats(state, 2)
+    px = (pixel_id % width).astype(jnp.float32) + jx
+    py = (pixel_id // width).astype(jnp.float32) + jy
+    org, d = generate_ray(cam, px, py)
+    return org, d, state, pixel_id
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_len", "has_masks", "has_bump", "with_stats"),
+)
+def render_pt_frame(
+    scene,
+    cam: Camera,
+    frame: jnp.ndarray,
+    width: int,
+    height: int,
+    spp: int = 1,
+    max_len: int = 10,
+    has_masks: bool = False,
+    has_bump: bool = False,
+    with_stats: bool = False,
+):
+    """Render one progressive frame; returns an un-normalised (H*W, 3)
+    radiance-sum film (divide by frames*spp for display, as the render
+    window does, render_window.cpp:99-121)."""
+    org, d, state, pixel_id = camera_rays(cam, width, height, spp, frame)
+    out = trace_paths(
+        scene, org, d, state, max_len,
+        has_masks=has_masks, has_bump=has_bump, with_stats=with_stats,
+    )
+    if with_stats:
+        radiance, n_rays = out
+        return splat(radiance, pixel_id, width * height), n_rays
+    return splat(out, pixel_id, width * height)

@@ -70,19 +70,25 @@ def closest_hit(
     False skip traversal entirely (start at the terminal node).
     """
     num_r = org.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
+    # Adding a zeros term derived from `org` keeps tmin/tmax device-varying
+    # under shard_map even when callers pass plain scalars.
+    vary = jnp.zeros_like(org[:, 0])
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,)) + vary
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,)) + vary
     inv_d = safe_inv_dir(d)
-    start = jnp.zeros((num_r,), jnp.int32)
+    # Derive loop-carry inits from the inputs (zeros_like etc.) so they
+    # inherit device-varying-ness under shard_map.
+    zero_i = jnp.zeros_like(tmin, dtype=jnp.int32)
+    start = zero_i
     if active is not None:
         start = jnp.where(active, start, -1)
 
     init = (
         start,                                      # current node
         jnp.asarray(tmax),                          # best t (doubles as ray tmax)
-        jnp.full((num_r,), -1, jnp.int32),          # best packed-slot index
-        jnp.zeros((num_r,), jnp.float32),           # u
-        jnp.zeros((num_r,), jnp.float32),           # v
+        zero_i - 1,                                 # best packed-slot index
+        jnp.zeros_like(tmin),                       # u
+        jnp.zeros_like(tmin),                       # v
     )
 
     def cond(state):
@@ -136,14 +142,17 @@ def any_hit(
     `occluded_*` kernels, ray_queue.h:296-343).
     """
     num_r = org.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
+    # Adding a zeros term derived from `org` keeps tmin/tmax device-varying
+    # under shard_map even when callers pass plain scalars.
+    vary = jnp.zeros_like(org[:, 0])
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,)) + vary
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,)) + vary
     inv_d = safe_inv_dir(d)
-    start = jnp.zeros((num_r,), jnp.int32)
+    start = jnp.zeros_like(tmin, dtype=jnp.int32)
     if active is not None:
         start = jnp.where(active, start, -1)
 
-    init = (start, jnp.zeros((num_r,), jnp.bool_))
+    init = (start, jnp.zeros_like(tmin, dtype=jnp.bool_))
 
     def cond(state):
         return jnp.any(state[0] >= 0)

@@ -330,22 +330,53 @@ def build_scene(scene_path: str, quiet: bool = False):
             env = build_envmap(env_img, desc.env_intensity)
             light_rows.append(dict(kind=light_mod.LIGHT_ENV, intensity=(1, 1, 1)))
 
+    device_scene = assemble_device_scene(
+        v0, v1, v2, attrs, conv.rows, light_rows, conv.textures, env
+    )
+    has_masks = any(m["mask_tex"] >= 0 for m in conv.rows)
+    meta = SceneMeta(
+        name=os.path.basename(scene_path),
+        num_tris=num_tris,
+        num_materials=len(conv.rows),
+        num_lights=len(light_rows),
+        num_textures=len(conv.textures),
+        has_env=env is not None,
+        has_masks=has_masks,
+        cam_pos=desc.cam_pos,
+        cam_dir=desc.cam_dir,
+        cam_up=desc.cam_up,
+        bvh_stats=device_scene.bvh_stats,
+    )
+    logger.info("scene built in %.2fs", time.time() - t_start)
+    return device_scene, meta
+
+
+def _geom_normals(v0, v1, v2):
+    n = np.cross(v1 - v0, v2 - v0)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n / np.maximum(ln, 1e-20)).astype(np.float32)
+
+
+def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env):
+    """Shared tail of scene construction: BVH build + device upload.
+
+    Used by both the file-based builder and procedural scenes
+    (scene/procedural.py).  The returned DeviceScene gets a transient
+    `bvh_stats` attribute for logging.
+    """
     # Bounding sphere over all instanced geometry (scene.cpp:190-201).
     lo = np.minimum(np.minimum(v0.min(0), v1.min(0)), v2.min(0))
     hi = np.maximum(np.maximum(v0.max(0), v1.max(0)), v2.max(0))
     center = 0.5 * (lo + hi)
     radius = float(np.linalg.norm(hi - center)) + 1e-6
 
-    # BVH over world-space triangles.
     t_bvh = time.time()
     blo, bhi = triangle_bboxes(v0, v1, v2)
     nodes = build_bvh(blo, bhi)
     threaded = thread_bvh(nodes, v0, v1, v2)
     logger.info("BVH: %s in %.2fs", threaded.stats, time.time() - t_bvh)
 
-    # ---- device upload -------------------------------------------------
-    mats = conv.rows
-    arr = lambda key, dt=np.float32: np.asarray([m[key] for m in mats], dt)
+    arr = lambda key, dt=np.float32: np.asarray([m[key] for m in mat_rows], dt)
     material_table = mat_mod.MaterialTable(
         kind=jnp.asarray(arr("kind", np.int32)),
         kd=jnp.asarray(arr("kd")), ks=jnp.asarray(arr("ks")),
@@ -356,7 +387,7 @@ def build_scene(scene_path: str, quiet: bool = False):
         mask_tex=jnp.asarray(arr("mask_tex", np.int32)),
     )
 
-    device_scene = DeviceScene(
+    scene = DeviceScene(
         bvh=DeviceBvh.from_threaded(threaded),
         attrs=TriAttrs(
             n0=jnp.asarray(attrs["n0"]), n1=jnp.asarray(attrs["n1"]),
@@ -370,7 +401,7 @@ def build_scene(scene_path: str, quiet: bool = False):
         ),
         materials=material_table,
         lights=light_mod.build_light_table(light_rows),
-        textures=pack_textures(conv.textures),
+        textures=pack_textures(textures),
         bsphere=light_mod.BSphere(
             center=jnp.asarray(center, jnp.float32),
             radius=jnp.asarray(radius, jnp.float32),
@@ -378,25 +409,5 @@ def build_scene(scene_path: str, quiet: bool = False):
         ),
         env=env,
     )
-    has_masks = any(m["mask_tex"] >= 0 for m in mats)
-    meta = SceneMeta(
-        name=os.path.basename(scene_path),
-        num_tris=num_tris,
-        num_materials=len(mats),
-        num_lights=len(light_rows),
-        num_textures=len(conv.textures),
-        has_env=env is not None,
-        has_masks=has_masks,
-        cam_pos=desc.cam_pos,
-        cam_dir=desc.cam_dir,
-        cam_up=desc.cam_up,
-        bvh_stats=threaded.stats,
-    )
-    logger.info("scene built in %.2fs", time.time() - t_start)
-    return device_scene, meta
-
-
-def _geom_normals(v0, v1, v2):
-    n = np.cross(v1 - v0, v2 - v0)
-    ln = np.linalg.norm(n, axis=-1, keepdims=True)
-    return (n / np.maximum(ln, 1e-20)).astype(np.float32)
+    object.__setattr__(scene, "bvh_stats", threaded.stats)
+    return scene

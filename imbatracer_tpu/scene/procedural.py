@@ -1,0 +1,142 @@
+"""Procedural test scenes (no asset files needed).
+
+Used by unit tests, `__graft_entry__` and benchmarks; geometry is an
+original construction in the spirit of the classic Cornell box (the
+reference ships it only as OBJ assets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..render import lights as light_mod
+from ..render import materials as mat_mod
+from .build import assemble_device_scene
+from .types import SceneMeta
+
+
+def _quad(p00, p10, p11, p01):
+    """Two CCW triangles for a quad given corners in order."""
+    return [(p00, p10, p11), (p00, p11, p01)]
+
+
+def make_cornell_scene(with_boxes: bool = True, mirror_box: bool = False,
+                       glass_sphere: bool = False):
+    """An enclosed box with an area light; returns (DeviceScene, SceneMeta).
+
+    Walls: white floor/ceiling/back, red left, green right.  Optional inner
+    blocks; one emissive quad near the ceiling.
+    """
+    tris = []      # (v0, v1, v2, mat_id)
+    W, H, D = 2.0, 2.0, 2.0  # box spans x:[-1,1], y:[0,2], z:[-1,1]
+
+    white, red, green, lightm = 0, 1, 2, 3
+    mirror, glass = 4, 5
+
+    def add(quads, mat):
+        for t in quads:
+            tris.append((*t, mat))
+
+    add(_quad((-1, 0, 1), (1, 0, 1), (1, 0, -1), (-1, 0, -1)), white)      # floor
+    add(_quad((-1, 2, -1), (1, 2, -1), (1, 2, 1), (-1, 2, 1)), white)      # ceiling
+    add(_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), white)    # back
+    add(_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), red)      # left
+    add(_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), green)        # right
+    # Light quad slightly below the ceiling, facing down.
+    add(_quad((-0.3, 1.99, 0.3), (0.3, 1.99, 0.3), (0.3, 1.99, -0.3),
+              (-0.3, 1.99, -0.3)), lightm)
+
+    if with_boxes:
+        bm = mirror if mirror_box else white
+        _add_box(tris, center=(-0.4, 0.45, -0.3), size=(0.55, 0.9, 0.55),
+                 angle_deg=20.0, mat=bm)
+        _add_box(tris, center=(0.45, 0.25, 0.35), size=(0.5, 0.5, 0.5),
+                 angle_deg=-17.0, mat=glass if glass_sphere else white)
+
+    v0 = np.asarray([t[0] for t in tris], np.float32)
+    v1 = np.asarray([t[1] for t in tris], np.float32)
+    v2 = np.asarray([t[2] for t in tris], np.float32)
+    mat_id = np.asarray([t[3] for t in tris], np.int32)
+    n = np.cross(v1 - v0, v2 - v0)
+    area2 = np.linalg.norm(n, axis=-1, keepdims=True)
+    gn = (n / np.maximum(area2, 1e-20)).astype(np.float32)
+
+    F = len(tris)
+    zeros2 = np.zeros((F, 2), np.float32)
+    attrs = dict(
+        n0=gn, n1=gn, n2=gn, uv0=zeros2, uv1=zeros2, uv2=zeros2,
+        mat_id=mat_id, light_id=np.full(F, -1, np.int32),
+        inst_id=np.zeros(F, np.int32), local_id=np.arange(F, dtype=np.int32),
+    )
+
+    emit_intensity = (18.0, 14.0, 9.0)
+    base = dict(ks=(0, 0, 0), tf=(0, 0, 0), ns=1.0, ior=1.0,
+                emit=(0, 0, 0), kd_tex=-1, bump_tex=-1, mask_tex=-1)
+    mat_rows = [
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.76, 0.75, 0.5)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.63, 0.06, 0.04)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.15, 0.48, 0.09)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.78, 0.78, 0.78), emit=emit_intensity),
+        dict(base, kind=mat_mod.MAT_MIRROR, kd=(0, 0, 0), ks=(0.9, 0.9, 0.9), ns=1000.0),
+        dict(base, kind=mat_mod.MAT_GLASS, kd=(0, 0, 0), ks=(1, 1, 1),
+             tf=(1, 1, 1), ior=1.5),
+    ]
+
+    light_rows = []
+    for ti in np.nonzero(mat_id == lightm)[0]:
+        nn = np.cross(v1[ti] - v0[ti], v2[ti] - v0[ti])
+        area = 0.5 * np.linalg.norm(nn)
+        attrs["light_id"][ti] = len(light_rows)
+        light_rows.append(
+            dict(kind=light_mod.LIGHT_TRI, p0=v0[ti], p1=v1[ti], p2=v2[ti],
+                 normal=nn / (2 * area), intensity=emit_intensity, area=area)
+        )
+
+    scene = assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, [], None)
+    meta = SceneMeta(
+        name="procedural_cornell",
+        num_tris=F,
+        num_materials=len(mat_rows),
+        num_lights=len(light_rows),
+        num_textures=0,
+        has_env=False,
+        has_masks=False,
+        cam_pos=(0.0, 1.0, 3.6),
+        cam_dir=(0.0, 0.0, -1.0),
+        cam_up=(0.0, 1.0, 0.0),
+        bvh_stats=scene.bvh_stats,
+    )
+    return scene, meta
+
+
+def _add_box(tris, center, size, angle_deg, mat):
+    cx, cy, cz = center
+    sx, sy, sz = size[0] / 2, size[1] / 2, size[2] / 2
+    a = np.deg2rad(angle_deg)
+    c, s = np.cos(a), np.sin(a)
+
+    def rot(p):
+        x, y, z = p
+        return (cx + c * x + s * z, cy + y, cz - s * x + c * z)
+
+    # 8 corners of the unrotated box around origin.
+    lo, hi = (-sx, -sy, -sz), (sx, sy, sz)
+    p = {}
+    for i, (x, y, z) in enumerate(
+        [(lo[0], lo[1], hi[2]), (hi[0], lo[1], hi[2]), (hi[0], lo[1], lo[2]),
+         (lo[0], lo[1], lo[2]), (lo[0], hi[1], hi[2]), (hi[0], hi[1], hi[2]),
+         (hi[0], hi[1], lo[2]), (lo[0], hi[1], lo[2])]
+    ):
+        p[i] = rot((x, y, z))
+
+    quads = [
+        (p[4], p[5], p[6], p[7]),  # top
+        (p[0], p[3], p[2], p[1]),  # bottom
+        (p[0], p[1], p[5], p[4]),  # front
+        (p[2], p[3], p[7], p[6]),  # back
+        (p[1], p[2], p[6], p[5]),  # right
+        (p[3], p[0], p[4], p[7]),  # left
+    ]
+    for q in quads:
+        for t in _quad(*q):
+            tris.append((*t, mat))

@@ -3,10 +3,17 @@ paths are exercised without TPU hardware."""
 
 import os
 
+# NOTE: the axon TPU plugin in this image ignores JAX_PLATFORMS (plural);
+# JAX_PLATFORM_NAME + an explicit config.update are required to get CPU.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: XLA compiles each unique op graph once per
 # machine instead of once per pytest run (cold compiles dominate runtime).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imbatracer_jax_cache")
