@@ -4,6 +4,10 @@ Plays the role of the reference's one-time accel upload
 (reference: render/scene.cpp:119-188, `upload_mesh_accels` via
 `anydsl_copy`) — in JAX this is just `jnp.asarray` placement; sharded
 placement for multi-chip is handled by the caller (scene is replicated).
+
+The traversal loop reads only the wide records `nodes16` / `leaf48`
+(one gather each per step — see accel/flatten.py for the layout); the
+narrow arrays are kept for tests and tooling.
 """
 
 from __future__ import annotations
@@ -16,6 +20,8 @@ from .flatten import ThreadedBvh
 
 @flax.struct.dataclass
 class DeviceBvh:
+    nodes16: jnp.ndarray     # (N, 16) f32 wide node record
+    leaf48: jnp.ndarray      # (L, 48) f32 wide leaf record
     node_min: jnp.ndarray    # (N, 3) f32
     node_max: jnp.ndarray    # (N, 3) f32
     hit_link: jnp.ndarray    # (N,) i32
@@ -29,6 +35,8 @@ class DeviceBvh:
     @staticmethod
     def from_threaded(t: ThreadedBvh) -> "DeviceBvh":
         return DeviceBvh(
+            nodes16=jnp.asarray(t.nodes16),
+            leaf48=jnp.asarray(t.leaf48),
             node_min=jnp.asarray(t.node_min),
             node_max=jnp.asarray(t.node_max),
             hit_link=jnp.asarray(t.hit_link),

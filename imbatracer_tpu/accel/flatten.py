@@ -41,8 +41,19 @@ class ThreadedBvh:
                      nodes.
     Packed triangles are in Moller-Trumbore form (v0, e1, e2) with the
     original primitive id; padded slots have id -1 and never intersect.
+
+    `nodes16` / `leaf48` are the TPU-optimised *wide-record* views of the
+    same data: TPU gathers of contiguous >=8-float rows are ~100x faster
+    than per-scalar or (N,3)-row gathers, so the traversal loop fetches
+    exactly one node record and one leaf record per step.
+      nodes16[i] = [min.xyz, max.xyz, hit(i32 bits), miss(i32 bits),
+                    leaf_id(i32 bits), pad...] (N, 16)
+      leaf48[l]  = 4 x [v0.xyz, e1.xyz, e2.xyz, tri_id(i32 bits),
+                    pad, pad]                   (L, 48)
     """
 
+    nodes16: np.ndarray       # (N, 16) f32 wide record (see above)
+    leaf48: np.ndarray        # (L, 48) f32 wide record
     node_min: np.ndarray      # (N, 3) f32
     node_max: np.ndarray      # (N, 3) f32
     hit_link: np.ndarray      # (N,) i32
@@ -53,6 +64,30 @@ class ThreadedBvh:
     tri_e2: np.ndarray        # (P, 3) f32
     tri_id: np.ndarray        # (P,) i32, -1 = padding
     stats: dict = field(default_factory=dict)
+
+
+def pack_records(node_min, node_max, hit_link, miss_link, leaf_start,
+                 tri_v0, tri_e1, tri_e2, tri_id):
+    """Build the wide-record node/leaf arrays (see ThreadedBvh docstring)."""
+    n = node_min.shape[0]
+    nodes16 = np.zeros((n, 16), np.float32)
+    nodes16[:, 0:3] = node_min
+    nodes16[:, 3:6] = node_max
+    nodes16[:, 6] = hit_link.astype(np.int32).view(np.float32)
+    nodes16[:, 7] = miss_link.astype(np.int32).view(np.float32)
+    leaf_id = np.where(leaf_start >= 0, leaf_start // LEAF_WIDTH, -1).astype(np.int32)
+    nodes16[:, 8] = leaf_id.view(np.float32)
+
+    num_leaves = tri_v0.shape[0] // LEAF_WIDTH
+    leaf48 = np.zeros((max(num_leaves, 1), LEAF_WIDTH * 12), np.float32)
+    for j in range(LEAF_WIDTH):
+        rows = slice(None)
+        base = j * 12
+        leaf48[:num_leaves, base + 0 : base + 3] = tri_v0[j::LEAF_WIDTH]
+        leaf48[:num_leaves, base + 3 : base + 6] = tri_e1[j::LEAF_WIDTH]
+        leaf48[:num_leaves, base + 6 : base + 9] = tri_e2[j::LEAF_WIDTH]
+        leaf48[:num_leaves, base + 9] = tri_id[j::LEAF_WIDTH].astype(np.int32).view(np.float32)
+    return nodes16, leaf48
 
 
 def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> ThreadedBvh:
@@ -103,7 +138,13 @@ def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) 
     pv2[pad] = 1e30
 
     depth = _max_depth(nodes)
+    nodes16, leaf48 = pack_records(
+        nodes.bbox_min, nodes.bbox_max, hit_link, miss_link, leaf_start,
+        pv0, pv1 - pv0, pv2 - pv0, packets.astype(np.int32),
+    )
     return ThreadedBvh(
+        nodes16=nodes16,
+        leaf48=leaf48,
         node_min=nodes.bbox_min,
         node_max=nodes.bbox_max,
         hit_link=hit_link,

@@ -43,21 +43,21 @@ from ..traverse import any_hit, closest_hit
 def alpha_fn_for(scene):
     """Transparency-mask hook for traversal (the reference's "masked"
     kernel variants); None-able at call sites for mask-free scenes."""
-    mask_tex = scene.materials.mask_tex
 
-    def alpha_fn(prim_ids, u4, v4):
+    def alpha_fn(prim, u, v):
+        import jax.lax
+
         from ...scene.textures import sample_mask
 
-        prim = jnp.maximum(prim_ids, 0)
-        attrs = scene.attrs
-        mt = mask_tex[attrs.mat_id[prim]]
-        w0 = 1.0 - u4 - v4
-        uv = (
-            w0[..., None] * attrs.uv0[prim]
-            + u4[..., None] * attrs.uv1[prim]
-            + v4[..., None] * attrs.uv2[prim]
+        rec = scene.attrs.rec[prim]
+        mat_id = jax.lax.bitcast_convert_type(rec[:, 18], jnp.int32)
+        mt = jax.lax.bitcast_convert_type(
+            scene.materials.rec[jnp.maximum(mat_id, 0), 17], jnp.int32
         )
-        return sample_mask(scene.textures, mt, uv[..., 0], uv[..., 1])
+        w0 = 1.0 - u - v
+        tu = w0 * rec[:, 12] + u * rec[:, 14] + v * rec[:, 16]
+        tv = w0 * rec[:, 13] + u * rec[:, 15] + v * rec[:, 17]
+        return sample_mask(scene.textures, mt, tu, tv)
 
     return alpha_fn
 
@@ -129,8 +129,9 @@ def trace_paths(
         lrow = jnp.maximum(isect.light_id, 0)
         cos_geom = dot(isect.gn, isect.w_out)
         cos_shade = dot(isect.normal, isect.w_out)
-        emit_intensity = scene.lights.intensity[lrow]
-        area = jnp.maximum(scene.lights.area[lrow], 1e-12)
+        lrec = scene.lights.rec[lrow]
+        emit_intensity = lrec[:, 13:16]
+        area = jnp.maximum(lrec[:, 16], 1e-12)
         d_sqr = hit.t * hit.t
         pdf_di_emit = (1.0 / area) / num_lights * d_sqr / jnp.where(
             cos_shade <= 0.0, 1.0, cos_shade

@@ -1,0 +1,614 @@
+"""Vertex Connection and Merging and its sub-algorithms (BPT / PPM / LT /
+PT') as one template over a static `algo` flag — the same compile-time
+pruning idea as the reference (reference: render/integrators/vcm.h:37-43,
+vcm.cpp:634-639), realised as Python-level static branching inside jit.
+
+MIS algebra is the partial-weight scheme of the VCM technical report,
+reproduced from the reference exactly:
+- per-frame constants: progressive radius r_i = r0 / i^{0.5(1-alpha)},
+  alpha = 0.75; eta_vcm = pi r^2 n_light_paths; mis_eta_vc = 1/eta_vcm;
+  mis_eta_vm = eta_vcm (0 for BPT)                        (vcm.cpp:27-45)
+- light-path init dVC/dVCM/dVM                            (vcm.cpp:85-96)
+- camera init dVCM = n_light / pdf_cam_w                  (vcm.cpp:120-129)
+- partial-weight completion at each hit (x t^2 / cos_o)   (vcm.cpp:228-234,
+  384-386)
+- bounce updates, specular and non-specular               (vcm.cpp:165-177)
+- camera connection img<->surf pdf conversion             (vcm.cpp:289-307)
+- NEE full weights                                        (vcm.cpp:441-486)
+- vertex connection with the vertex-cache pdf factor
+  count/(n_light_paths * num_connections)                 (vcm.cpp:488-569)
+- vertex merging with Epanechnikov kernel                 (vcm.cpp:571-611)
+- adjoint shading-normal correction for light paths       (vcm.h:119-125)
+
+Deviations (documented): light paths are capped at `max_len` bounces (the
+reference relies on Russian roulette alone, vcm.cpp:140-190 — a static
+loop bound is required for jit, and connections beyond max_len are
+filtered in both); the vertex cache is a fixed-capacity scatter-append
+instead of a probe-sized atomic append (light_vertices.cpp:15-129).
+
+The wavefront structure mirrors pt.py: each pass is a fori_loop megastep
+over fixed-size ray batches with lane masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...core import rng as rng_mod
+from ...core.sampling import PI, russian_roulette_prob
+from ...core.vecmath import dot, normalize
+from .. import envmap as envmap_mod
+from .. import lights as light_mod
+from .. import materials as mat_mod
+from ..camera import Camera, generate_ray, raster_to_id, world_to_raster
+from ..film import splat
+from ..hashgrid import build_hash_grid, query_knn
+from ..intersect import BIG
+from ..light_cache import LightVertexCache, append, empty_cache
+from ..surface import make_interaction
+from ..traverse import any_hit, closest_hit
+from .pt import alpha_fn_for, camera_rays
+
+ALGOS = ("vcm", "bpt", "ppm", "lt", "pt")
+
+mis_pow = lambda x: x  # power-1 heuristic (vcm.h:112-116)
+
+
+def shading_normal_adjoint(normal, gn, w_out, w_in):
+    """Veach's adjoint-BSDF cosine correction (vcm.h:119-125)."""
+    denom = dot(w_out, gn)
+    denom = jnp.where(jnp.abs(denom) < 1e-9, jnp.where(denom < 0, -1e-9, 1e-9), denom)
+    return dot(w_out, normal) * dot(w_in, gn) / denom
+
+
+def _gather_vertex_params(scene, cache: LightVertexCache, idx):
+    """Re-gather material parameters for cached light vertices."""
+    from ...scene.textures import sample_bilinear
+
+    mat_id = cache.mat_id[idx]
+    kd_tex = scene.materials.kd_tex[mat_id]
+    uv = cache.uv[idx]
+    kd = scene.materials.kd[mat_id]
+    kd = jnp.where(
+        (kd_tex >= 0)[..., None],
+        sample_bilinear(scene.textures, kd_tex, uv[..., 0], uv[..., 1]),
+        kd,
+    )
+    return mat_mod.gather_params(scene.materials, mat_id, kd_override=kd)
+
+
+# ======================================================================
+#  Light pass
+# ======================================================================
+
+def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
+                mis_eta_vm, *, algo, num_pixels, light_path_count, max_len,
+                cache_capacity, has_masks, has_bump, alpha_fn):
+    num_lights = scene.lights.kind.shape[0]
+    L = light_path_count
+    pdf_lightpick = 1.0 / num_lights
+
+    path_id = jnp.arange(L, dtype=jnp.int32)
+    state = rng_mod.seed(path_id, frame, jnp.uint32(0x1157A9))
+    # Uniform split of paths across lights (UniformLightTileGen,
+    # reference: render/ray_gen/tile_gen.h:98-177; pdf approximated as
+    # uniform pick, vcm.cpp:67-68).
+    light_idx = (path_id * num_lights) // L
+    state, (u1, u2, u3, u4) = rng_mod.next_floats(state, 4)
+    es = light_mod.sample_emit(
+        scene.lights, light_idx, u1, u2, u3, u4, scene.bsphere, scene.env
+    )
+
+    throughput = es.radiance / pdf_lightpick
+    d_vcm = mis_pow(es.pdf_direct_a / jnp.maximum(es.pdf_emit_w, 1e-20))
+    d_vc = jnp.where(
+        es.is_delta, 0.0,
+        mis_pow(es.cos_out / jnp.maximum(es.pdf_emit_w * pdf_lightpick, 1e-20)),
+    )
+    d_vm = d_vc * mis_eta_vc
+
+    carry = dict(
+        org=es.pos,
+        d=es.dir,
+        tmin=jnp.full((L,), 1e-3, jnp.float32),
+        throughput=throughput,
+        active=(es.pdf_emit_w > 0.0) & jnp.any(es.radiance != 0.0, axis=-1),
+        finite=es.is_finite,
+        d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm,
+        state=state,
+        film=jnp.zeros((num_pixels, 3), jnp.float32),
+        cache=empty_cache(cache_capacity),
+    )
+
+    def body(i, c):
+        hit = closest_hit(scene.bvh, c["org"], c["d"], c["tmin"], BIG,
+                          alpha_fn=alpha_fn, active=c["active"])
+        # Light rays ignore the environment (vcm.cpp:210-212).
+        active = c["active"] & (hit.prim_id >= 0)
+        isect = make_interaction(scene, hit, c["org"], c["d"], has_bump=has_bump)
+
+        cos_o = jnp.abs(dot(isect.w_out, isect.normal))
+        active = active & (cos_o > 0.0)
+
+        # Complete the partial weights (vcm.cpp:228-234).
+        t_sqr = hit.t * hit.t
+        d_vcm = c["d_vcm"] * jnp.where((i > 0) | c["finite"], mis_pow(t_sqr), 1.0)
+        inv_cos = 1.0 / mis_pow(jnp.maximum(cos_o, 1e-9))
+        d_vcm = d_vcm * inv_cos
+        d_vc = c["d_vc"] * inv_cos
+        d_vm = c["d_vm"] * inv_cos
+
+        non_spec = ~mat_mod.is_specular(isect.params)
+        film = c["film"]
+        cache = c["cache"]
+
+        # Store vertices for connection/merging (vcm.cpp:237-246).
+        if algo != "lt":
+            store = active & non_spec
+            cache = append(
+                cache, store, isect.pos, isect.w_out, isect.normal, isect.gn,
+                isect.uv, isect.mat_id, c["throughput"], d_vc, d_vcm, d_vm,
+                jnp.full((L,), i + 2, jnp.int32),
+            )
+
+        # Connect every non-specular vertex to the camera (vcm.cpp:260-320).
+        if algo != "ppm":
+            film = film + _connect_to_camera(
+                scene, cam, isect, c["throughput"], d_vc, d_vcm,
+                active & non_spec, mis_eta_vm, L, num_pixels, algo, alpha_fn,
+            )
+
+        # Adjoint bounce (vcm.cpp:134-190).
+        st = c["state"]
+        (org, d, tmin, throughput, active, d_vc, d_vcm, d_vm, st) = _bounce(
+            scene, isect, c["throughput"], d_vc, d_vcm, d_vm, active, st,
+            hit, mis_eta_vc, mis_eta_vm, adjoint=True, algo=algo,
+            last_bounce=(i + 1 >= max_len),
+        )
+        return dict(
+            org=org, d=d, tmin=tmin, throughput=throughput, active=active,
+            finite=c["finite"], d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm, state=st,
+            film=film, cache=cache,
+        )
+
+    out = jax.lax.fori_loop(0, max_len, body, carry)
+    return out["film"], out["cache"]
+
+
+def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
+                       mis_eta_vm, light_path_count, num_pixels, algo, alpha_fn):
+    to_cam = cam.pos - isect.pos
+    behind = dot(-to_cam, cam.forward) >= 0.0
+    rx, ry, _ = world_to_raster(cam, isect.pos)
+    pixel = raster_to_id(cam, rx, ry)
+    valid = valid & ~behind & (pixel >= 0)
+
+    dist_sqr = jnp.maximum(dot(to_cam, to_cam), 1e-12)
+    dist = jnp.sqrt(dist_sqr)
+    dir_c = to_cam / dist[..., None]
+
+    cos_cam = jnp.abs(dot(cam.forward, -dir_c))
+    cos_surf = jnp.abs(shading_normal_adjoint(isect.normal, isect.gn, isect.w_out, dir_c))
+
+    f = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, dir_c)
+    pdf_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, dir_c, isect.w_out)
+    valid = valid & (pdf_rev > 0.0)
+
+    img_to_surf = (cam.img_plane_dist ** 2 * cos_surf) / jnp.maximum(
+        dist_sqr * cos_cam * cos_cam * cos_cam, 1e-12
+    )
+
+    w_light = mis_pow(img_to_surf / light_path_count) * (
+        mis_eta_vm + d_vcm + d_vc * mis_pow(pdf_rev)
+    )
+    w = 1.0 if algo == "lt" else 1.0 / (w_light + 1.0)
+
+    contrib = throughput * f * (w * img_to_surf / light_path_count)[..., None]
+    valid = valid & jnp.any(contrib > 0.0, axis=-1)
+
+    offset = dist * 1e-3
+    occluded = any_hit(scene.bvh, isect.pos, dir_c, offset, dist - offset,
+                       alpha_fn=alpha_fn, active=valid)
+    ok = valid & ~occluded
+    return splat(jnp.where(ok[..., None], contrib, 0.0),
+                 jnp.where(ok, pixel, -1), num_pixels)
+
+
+def _bounce(scene, isect, throughput, d_vc, d_vcm, d_vm, active, state, hit,
+            mis_eta_vc, mis_eta_vm, *, adjoint, algo, last_bounce):
+    """Shared camera/light bounce with partial-weight updates
+    (vcm.cpp:134-190)."""
+    state, (urr, u1, u2, u3) = rng_mod.next_floats(state, 4)
+    rr_pdf = russian_roulette_prob(throughput)
+    survive = urr < rr_pdf
+
+    wi, f, pdf_dir, spec, valid = mat_mod.sample_bsdf(
+        isect.params, isect.normal, isect.gn, isect.w_out, u1, u2, u3,
+        adjoint=adjoint,
+    )
+    if algo == "ppm" and not adjoint:
+        # PPM camera paths only follow specular chains (vcm.cpp:147-149).
+        valid = valid & mat_mod.is_specular(isect.params)
+
+    pdf_rev = jnp.where(
+        spec, pdf_dir,
+        mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, wi, isect.w_out),
+    )
+    cos_i = jnp.where(
+        adjoint,
+        jnp.abs(shading_normal_adjoint(isect.normal, isect.gn, isect.w_out, wi)),
+        jnp.abs(dot(wi, isect.normal)),
+    )
+
+    safe_pdf = jnp.maximum(pdf_dir, 1e-20)
+    new_d_vc = jnp.where(
+        spec,
+        d_vc * mis_pow(cos_i),
+        mis_pow(cos_i / safe_pdf) * (d_vc * mis_pow(pdf_rev) + d_vcm + mis_eta_vm),
+    )
+    new_d_vm = jnp.where(
+        spec,
+        d_vm * mis_pow(cos_i),
+        mis_pow(cos_i / safe_pdf) * (d_vm * mis_pow(pdf_rev) + d_vcm * mis_eta_vc + 1.0),
+    )
+    new_d_vcm = jnp.where(spec, 0.0, mis_pow(1.0 / safe_pdf))
+
+    new_throughput = throughput * f * (cos_i / (rr_pdf * safe_pdf))[..., None]
+    active = active & survive & valid & jnp.logical_not(last_bounce)
+
+    org = jnp.where(active[..., None], isect.pos, 0.0)
+    d = jnp.where(active[..., None], wi, 0.0)
+    tmin = hit.t * 1e-4  # (vcm.cpp:254 offset convention)
+    return (org, d, tmin,
+            jnp.where(active[..., None], new_throughput, throughput),
+            active,
+            jnp.where(active, new_d_vc, d_vc),
+            jnp.where(active, new_d_vcm, d_vcm),
+            jnp.where(active, new_d_vm, d_vm),
+            state)
+
+
+# ======================================================================
+#  Camera pass
+# ======================================================================
+
+def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
+                 mis_eta_vc, mis_eta_vm, *, algo, width, height, spp, max_len,
+                 light_path_count, num_connections, num_knn, table_size,
+                 max_per_cell, has_masks, has_bump, alpha_fn):
+    num_pixels = width * height
+    num_lights = scene.lights.kind.shape[0]
+    org, d, state, pixel_id = camera_rays(cam, width, height, spp, frame)
+    num_rays = org.shape[0]
+
+    # dVCM init: pixel pdf converted to solid angle (vcm.cpp:120-129).
+    cos_o = dot(d, cam.forward)
+    pdf_cam_w = (cam.img_plane_dist / cos_o) ** 2 / cos_o
+    d_vcm0 = mis_pow(light_path_count / pdf_cam_w)
+
+    zero1 = jnp.zeros_like(org[:, 0])
+    carry = dict(
+        org=org, d=d,
+        tmin=zero1,
+        throughput=jnp.ones_like(org),
+        radiance=jnp.zeros_like(org),
+        active=zero1 < 1.0,
+        d_vc=zero1, d_vcm=d_vcm0, d_vm=zero1,
+        state=state,
+    )
+
+    def body(i, c):
+        hit = closest_hit(scene.bvh, c["org"], c["d"], c["tmin"], BIG,
+                          alpha_fn=alpha_fn, active=c["active"])
+        radiance = c["radiance"]
+
+        # --- env misses (vcm.cpp:338-365; skipped for the PT variant) ---
+        miss = c["active"] & (hit.prim_id < 0)
+        if scene.env is not None and algo != "pt":
+            li, pdf_direct_w, pdf_emit_w = envmap_mod.radiance(
+                scene.env, normalize(c["d"]), scene.bsphere.inv_radius_sqr
+            )
+            pdf_di = pdf_direct_w / num_lights
+            pdf_e = pdf_emit_w / num_lights
+            w_cam = mis_pow(pdf_di) * c["d_vcm"] + mis_pow(pdf_e) * c["d_vc"]
+            if algo == "ppm":
+                w = jnp.ones_like(w_cam)
+            else:
+                w = 1.0 / (w_cam + 1.0)
+            radiance = radiance + jnp.where(
+                miss[..., None], c["throughput"] * li * w[..., None], 0.0
+            )
+        active = c["active"] & ~miss
+
+        isect = make_interaction(scene, hit, c["org"], c["d"], has_bump=has_bump)
+        cos_o = jnp.abs(dot(isect.w_out, isect.normal))
+
+        # Complete partial weights (vcm.cpp:384-392).
+        inv_cos = 1.0 / mis_pow(jnp.maximum(cos_o, 1e-9))
+        d_vcm = c["d_vcm"] * mis_pow(hit.t * hit.t) * inv_cos
+        d_vc = c["d_vc"] * inv_cos
+        d_vm = c["d_vm"] * inv_cos
+        active = active & (cos_o > 0.0)
+
+        # --- emitter hit (vcm.cpp:394-412) ------------------------------
+        is_emitter = active & (isect.light_id >= 0)
+        lrow = jnp.maximum(isect.light_id, 0)
+        lrec = scene.lights.rec[lrow]
+        area = jnp.maximum(lrec[:, 16], 1e-12)
+        cos_geom = dot(isect.gn, isect.w_out)
+        li = jnp.where((cos_geom > 0.0)[..., None], lrec[:, 13:16], 0.0)
+        pdf_direct_a = jnp.where(cos_geom > 0.0, 1.0 / area, 1.0)
+        # AreaEmitter pdf_emit_w measured about the geometric normal
+        # (light.h:21-44).
+        pdf_emit_w = jnp.where(
+            cos_geom > 0.0,
+            jnp.maximum(cos_geom, 0.0) / PI / area,
+            1.0,
+        )
+        pdf_di = pdf_direct_a / num_lights
+        pdf_e = pdf_emit_w / num_lights
+        w_cam = mis_pow(pdf_di) * d_vcm + mis_pow(pdf_e) * d_vc
+        if algo == "ppm":
+            w_emit = jnp.ones_like(w_cam)
+        else:
+            w_emit = jnp.where(i == 0, 1.0, 1.0 / (w_cam + 1.0))
+        radiance = radiance + jnp.where(
+            is_emitter[..., None], c["throughput"] * li * w_emit[..., None], 0.0
+        )
+        active = active & ~is_emitter
+
+        st = c["state"]
+        non_spec = ~mat_mod.is_specular(isect.params)
+
+        # --- NEE (vcm.cpp:424-427, 441-486) -----------------------------
+        if algo != "ppm":
+            st, radiance = _direct_illum(
+                scene, isect, c["throughput"], d_vc, d_vcm, active, st,
+                radiance, mis_eta_vm, num_lights, algo, alpha_fn,
+            )
+
+        # --- vertex connections (vcm.cpp:429-431, 488-569) --------------
+        if algo in ("vcm", "bpt"):
+            for _ in range(num_connections):
+                st, radiance = _connect(
+                    scene, cache, isect, c["throughput"], d_vc, d_vcm,
+                    active & non_spec, st, radiance, mis_eta_vm,
+                    light_path_count, num_connections, max_len,
+                    cam_path_length=i + 1, base_radius=base_radius,
+                    alpha_fn=alpha_fn,
+                )
+
+        # --- vertex merging (vcm.cpp:433-436, 571-611) ------------------
+        if algo in ("vcm", "ppm"):
+            radiance = _vertex_merging(
+                scene, cache, grid, isect, c["throughput"], d_vcm, d_vm,
+                active & non_spec, radiance, mis_eta_vc, pm_radius,
+                light_path_count, num_knn, table_size, max_per_cell, algo,
+            )
+
+        # --- bounce ------------------------------------------------------
+        (org, dd, tmin, throughput, active, d_vc, d_vcm, d_vm, st) = _bounce(
+            scene, isect, c["throughput"], d_vc, d_vcm, d_vm, active, st,
+            hit, mis_eta_vc, mis_eta_vm, adjoint=False, algo=algo,
+            last_bounce=(i + 1 >= max_len),
+        )
+        return dict(org=org, d=dd, tmin=tmin, throughput=throughput,
+                    radiance=radiance, active=active, d_vc=d_vc, d_vcm=d_vcm,
+                    d_vm=d_vm, state=st)
+
+    out = jax.lax.fori_loop(0, max_len, body, carry)
+    return splat(out["radiance"], pixel_id, num_pixels)
+
+
+def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
+                  radiance, mis_eta_vm, num_lights, algo, alpha_fn):
+    state, (ul, ua, ub) = rng_mod.next_floats(state, 3)
+    light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
+    ds = light_mod.sample_direct(
+        scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
+    )
+    cos_i = jnp.abs(dot(isect.normal, ds.dir))
+    f = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
+    pdf_dir = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
+    pdf_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, ds.dir, isect.w_out)
+    ok = active & (pdf_dir > 0.0) & (pdf_rev > 0.0)
+
+    pdf_forward = jnp.where(ds.is_delta, 0.0, pdf_dir)
+    w_light = mis_pow(pdf_forward * num_lights / jnp.maximum(ds.pdf_direct_w, 1e-20))
+    w_cam = mis_pow(
+        ds.pdf_emit_w * cos_i / jnp.maximum(ds.pdf_direct_w * ds.cos_out, 1e-20)
+    ) * (mis_eta_vm + d_vcm + d_vc * mis_pow(pdf_rev))
+    w = jnp.ones_like(w_cam) if algo == "pt" else 1.0 / (w_cam + 1.0 + w_light)
+
+    contrib = throughput * f * ds.radiance * (w * cos_i * num_lights)[..., None]
+    ok = ok & jnp.any(contrib > 0.0, axis=-1)
+    offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
+    occluded = any_hit(scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
+                       alpha_fn=alpha_fn, active=ok)
+    radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
+    return state, radiance
+
+
+def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
+             active, state, radiance, mis_eta_vm, light_path_count,
+             num_connections, max_len, *, cam_path_length, base_radius, alpha_fn):
+    """One vertex connection per ray (vcm.cpp:488-569)."""
+    state, (uc,) = rng_mod.next_floats(state, 1)
+    count = cache.count
+    have = count > 0
+    j = jnp.minimum((uc * count.astype(jnp.float32)).astype(jnp.int32),
+                    jnp.maximum(count - 1, 0))
+
+    vpos = cache.pos[j]
+    v_len = cache.path_length[j]
+    ok = active & have & (v_len + cam_path_length <= max_len)
+
+    to_v = vpos - isect.pos
+    dist_sq = jnp.maximum(dot(to_v, to_v), 1e-20)
+    dist = jnp.sqrt(dist_sq)
+    cdir = to_v / dist[..., None]
+    ok = ok & (dist >= base_radius)  # (vcm.cpp:516-521)
+
+    # Camera-side BSDF.
+    f_cam = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, cdir)
+    pdf_cam = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, cdir)
+    pdf_cam_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, cdir, isect.w_out)
+
+    # Light-side BSDF (adjoint eval; same formulas for non-delta kinds).
+    vparams = _gather_vertex_params(scene, cache, j)
+    vn = cache.normal[j]
+    vgn = cache.gn[j]
+    vout = cache.w_out[j]
+    f_light = mat_mod.eval_bsdf(vparams, vn, vgn, vout, -cdir)
+    pdf_light = mat_mod.pdf_bsdf(vparams, vn, vgn, vout, -cdir)
+    pdf_light_rev = mat_mod.pdf_bsdf(vparams, vn, vgn, -cdir, vout)
+
+    ok = ok & (pdf_cam > 0) & (pdf_cam_rev > 0) & (pdf_light > 0) & (pdf_light_rev > 0)
+
+    cos_cam = jnp.abs(dot(isect.normal, cdir))
+    cos_light = jnp.abs(shading_normal_adjoint(vn, vgn, vout, -cdir))
+    geom = cos_cam * cos_light / dist_sq
+    ok = ok & (geom > 0.0)
+
+    pdf_cam_a = pdf_cam * cos_light / dist_sq
+    pdf_light_a = pdf_light * cos_cam / dist_sq
+    w_light = mis_pow(pdf_cam_a) * (mis_eta_vm + cache.d_vcm[j] + cache.d_vc[j] * mis_pow(pdf_light_rev))
+    w_cam = mis_pow(pdf_light_a) * (mis_eta_vm + d_vcm + d_vc * mis_pow(pdf_cam_rev))
+    w = 1.0 / (w_cam + 1.0 + w_light)
+
+    vc_weight = count.astype(jnp.float32) / (light_path_count * num_connections)
+    contrib = (
+        throughput * cache.throughput[j] * f_cam * f_light
+        * (w * geom * vc_weight)[..., None]
+    )
+    ok = ok & jnp.any(contrib > 0.0, axis=-1)
+
+    offset = 1e-3 * dist
+    occluded = any_hit(scene.bvh, isect.pos, cdir, offset, dist - offset,
+                       alpha_fn=alpha_fn, active=ok)
+    radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
+    return state, radiance
+
+
+def _vertex_merging(scene, cache: LightVertexCache, grid, isect, throughput,
+                    d_vcm, d_vm, active, radiance, mis_eta_vc, pm_radius,
+                    light_path_count, num_knn, table_size, max_per_cell, algo):
+    """kNN photon gather + Epanechnikov kernel (vcm.cpp:571-611)."""
+    idx, d2, count = query_knn(grid, isect.pos, num_knn, max_per_cell, table_size)
+    full = count >= num_knn
+    radius_sqr = jnp.where(full, d2[:, num_knn - 1], pm_radius * pm_radius)
+    radius_sqr = jnp.maximum(radius_sqr, 1e-20)
+
+    contrib = jnp.zeros_like(throughput)
+    for slot in range(num_knn):
+        p = jnp.maximum(idx[:, slot], 0)
+        ok = active & (idx[:, slot] >= 0)
+        # Merging must not shorten paths beyond max length is handled by
+        # construction (light cap == camera cap).
+        photon_in = cache.w_out[p]
+        f = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, photon_in)
+        pdf_dir = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, photon_in)
+        pdf_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, photon_in, isect.w_out)
+        ok = ok & (pdf_dir > 0.0) & (pdf_rev > 0.0) & jnp.any(f != 0.0, axis=-1)
+
+        w_light = cache.d_vcm[p] * mis_eta_vc + cache.d_vm[p] * mis_pow(pdf_dir)
+        w_cam = d_vcm * mis_eta_vc + d_vm * mis_pow(pdf_rev)
+        w = jnp.ones_like(w_cam) if algo == "ppm" else 1.0 / (w_light + 1.0 + w_cam)
+
+        kernel = jnp.maximum(1.0 - d2[:, slot] / radius_sqr, 0.0)
+        contrib = contrib + jnp.where(
+            ok[..., None], cache.throughput[p] * f * (w * kernel)[..., None], 0.0
+        )
+
+    norm = 2.0 / (PI * radius_sqr * light_path_count)
+    return radiance + jnp.where(
+        active[..., None], throughput * contrib * norm[..., None], 0.0
+    )
+
+
+# ======================================================================
+#  Frame entry point
+# ======================================================================
+
+@partial(jax.jit, static_argnames=(
+    "algo", "width", "height", "spp", "max_len", "light_path_count",
+    "num_connections", "num_knn", "cache_capacity", "table_size",
+    "max_per_cell", "has_masks", "has_bump",
+))
+def render_vcm_frame(
+    scene,
+    cam: Camera,
+    frame: jnp.ndarray,
+    base_radius: jnp.ndarray,
+    *,
+    algo: str = "vcm",
+    width: int = 512,
+    height: int = 512,
+    spp: int = 1,
+    max_len: int = 10,
+    light_path_count: int = 0,
+    num_connections: int = 1,
+    num_knn: int = 10,
+    cache_capacity: int = 0,
+    table_size: int = 0,
+    max_per_cell: int = 16,
+    has_masks: bool = False,
+    has_bump: bool = False,
+):
+    """One progressive VCM-family frame; returns the un-normalised film.
+
+    Contributions are normalised exactly as the reference: everything is
+    divided by frames*spp at display time; the light pass itself divides by
+    light_path_count, so light_path_count can differ from the pixel count.
+    """
+    assert algo in ALGOS
+    num_pixels = width * height
+    if light_path_count <= 0:
+        light_path_count = num_pixels // 2
+    if cache_capacity <= 0:
+        cache_capacity = 2 * light_path_count
+    if table_size <= 0:
+        table_size = 2 * cache_capacity
+
+    # Progressive radius + MIS constants (vcm.cpp:27-45).
+    iteration = frame.astype(jnp.float32) + 1.0
+    radius_alpha = 0.75
+    pm_radius = base_radius / jnp.power(iteration, 0.5 * (1.0 - radius_alpha))
+    pm_radius = jnp.maximum(pm_radius, 1e-7)
+    eta_vcm = PI * pm_radius * pm_radius * light_path_count
+    mis_eta_vc = mis_pow(1.0 / eta_vcm)
+    mis_eta_vm = jnp.zeros_like(eta_vcm) if algo == "bpt" else mis_pow(eta_vcm)
+
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+
+    film = jnp.zeros((num_pixels, 3), jnp.float32)
+    cache = None
+    grid = None
+
+    if algo != "pt":
+        light_film, cache = _light_pass(
+            scene, cam, frame, pm_radius, base_radius, mis_eta_vc, mis_eta_vm,
+            algo=algo, num_pixels=num_pixels,
+            light_path_count=light_path_count, max_len=max_len,
+            cache_capacity=cache_capacity, has_masks=has_masks,
+            has_bump=has_bump, alpha_fn=alpha_fn,
+        )
+        film = film + light_film
+        if algo in ("vcm", "ppm"):
+            valid = jnp.arange(cache_capacity) < cache.count
+            grid = build_hash_grid(cache.pos, valid, pm_radius, table_size)
+
+    if algo != "lt":
+        film = film + _camera_pass(
+            scene, cam, frame, cache, grid, pm_radius, base_radius,
+            mis_eta_vc, mis_eta_vm, algo=algo, width=width, height=height,
+            spp=spp, max_len=max_len, light_path_count=light_path_count,
+            num_connections=num_connections, num_knn=num_knn,
+            table_size=table_size, max_per_cell=max_per_cell,
+            has_masks=has_masks, has_bump=has_bump, alpha_fn=alpha_fn,
+        )
+
+    return film

@@ -1,0 +1,89 @@
+"""Light-path vertex cache (SoA, fixed capacity, on device).
+
+Replaces the reference's lock-free atomic-append cache
+(reference: render/integrators/light_vertices.h:59-127): vertices from the
+light pass are scatter-appended into fixed-size SoA arrays; a cursor
+tracks the fill level and overflow is dropped, mirroring the reference's
+overflow behaviour (light_vertices.h:79-83).  The reference pre-measures
+capacity with probe paths (light_vertices.cpp:15-129); we take capacity as
+an explicit knob (default 2 x light_path_count) because static shapes are
+required anyway.
+
+Each vertex stores everything needed to re-evaluate its BSDF at connection
+time (position, outgoing dir, shading/geometric normals, uv, material id)
+plus throughput and the dVC/dVCM/dVM partial MIS weights.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class LightVertexCache:
+    pos: jnp.ndarray         # (C, 3)
+    w_out: jnp.ndarray       # (C, 3) direction toward the previous vertex
+    normal: jnp.ndarray      # (C, 3)
+    gn: jnp.ndarray          # (C, 3)
+    uv: jnp.ndarray          # (C, 2)
+    mat_id: jnp.ndarray      # (C,) i32
+    throughput: jnp.ndarray  # (C, 3)
+    d_vc: jnp.ndarray        # (C,)
+    d_vcm: jnp.ndarray       # (C,)
+    d_vm: jnp.ndarray        # (C,)
+    path_length: jnp.ndarray  # (C,) i32
+    count: jnp.ndarray       # () i32 number of valid vertices
+
+    @property
+    def capacity(self):
+        return self.pos.shape[0]
+
+
+def empty_cache(capacity: int) -> LightVertexCache:
+    z = jnp.zeros((capacity,), jnp.float32)
+    z3 = jnp.zeros((capacity, 3), jnp.float32)
+    return LightVertexCache(
+        pos=z3, w_out=z3, normal=z3, gn=z3,
+        uv=jnp.zeros((capacity, 2), jnp.float32),
+        mat_id=jnp.zeros((capacity,), jnp.int32),
+        throughput=z3,
+        d_vc=z, d_vcm=z, d_vm=z,
+        path_length=jnp.zeros((capacity,), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def append(cache: LightVertexCache, valid, pos, w_out, normal, gn, uv, mat_id,
+           throughput, d_vc, d_vcm, d_vm, path_length) -> LightVertexCache:
+    """Scatter-append the `valid` rows of a batch into the cache.
+
+    Slots are assigned by an exclusive prefix sum over the valid mask
+    (deterministic — unlike the reference's atomic order); overflow rows
+    are dropped via the out-of-range scatter index.
+    """
+    cap = cache.capacity
+    slot_in_batch = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    slot = cache.count + slot_in_batch
+    target = jnp.where(valid & (slot < cap), slot, cap)  # cap = trash slot
+
+    def put(dst, src):
+        return dst.at[target].set(src, mode="drop")
+
+    new_count = jnp.minimum(
+        cache.count + jnp.sum(valid.astype(jnp.int32)), cap
+    )
+    return LightVertexCache(
+        pos=put(cache.pos, pos),
+        w_out=put(cache.w_out, w_out),
+        normal=put(cache.normal, normal),
+        gn=put(cache.gn, gn),
+        uv=put(cache.uv, uv),
+        mat_id=put(cache.mat_id, mat_id),
+        throughput=put(cache.throughput, throughput),
+        d_vc=put(cache.d_vc, d_vc),
+        d_vcm=put(cache.d_vcm, d_vcm),
+        d_vm=put(cache.d_vm, d_vm),
+        path_length=put(cache.path_length, path_length),
+        count=new_count,
+    )

@@ -45,6 +45,15 @@ FAR = jnp.float32(1e30)
 
 @flax.struct.dataclass
 class LightTable:
+    """SoA light storage.
+
+    `rec` is the wide-record per-light view used by per-ray gathers (one
+    (R, 24) row gather; see accel/flatten.py for the TPU rationale):
+      [kind(0, i32 bits), p0(1:4), p1(4:7), p2(7:10), normal(10:13),
+       intensity(13:16), area(16), cos_angle(17), pad(18:24)]
+    """
+
+    rec: jnp.ndarray        # (L, 24) f32 wide record
     kind: jnp.ndarray       # (L,) i32
     p0: jnp.ndarray         # (L, 3) tri vert / point pos / spot pos
     p1: jnp.ndarray         # (L, 3) tri vert
@@ -91,6 +100,12 @@ class EmitSample(NamedTuple):
     is_delta: jnp.ndarray
 
 
+def _bits(col):
+    import jax.lax
+
+    return jax.lax.bitcast_convert_type(col, jnp.int32)
+
+
 def is_delta_kind(kind):
     return (kind == LIGHT_POINT) | (kind == LIGHT_DIR) | (kind == LIGHT_SPOT)
 
@@ -110,15 +125,19 @@ def sample_direct(
 ) -> DirectSample:
     """Sample a point/direction on light `light_idx` for NEE shadow rays."""
     li = jnp.maximum(light_idx, 0)
-    kind = lights.kind[li]
-    p0 = lights.p0[li]
-    n = lights.normal[li]
-    intensity = lights.intensity[li]
+    rec = lights.rec[li]
+    kind = _bits(rec[:, 0])
+    p0 = rec[:, 1:4]
+    p1 = rec[:, 4:7]
+    p2 = rec[:, 7:10]
+    n = rec[:, 10:13]
+    intensity = rec[:, 13:16]
+    cos_angle = rec[:, 17]
 
     # --- TRI (light.h:145-180) -----------------------------------------
-    area = lights.area[li]
+    area = rec[:, 16]
     tu, tv = sample_uniform_triangle(u1, u2)
-    pos = tu[..., None] * p0 + tv[..., None] * lights.p1[li] + (1.0 - tu - tv)[..., None] * lights.p2[li]
+    pos = tu[..., None] * p0 + tv[..., None] * p1 + (1.0 - tu - tv)[..., None] * p2
     to_l = pos - from_pos
     distsq_t = jnp.maximum(dot(to_l, to_l), 1e-12)
     dist_t = jnp.sqrt(distsq_t)
@@ -151,9 +170,9 @@ def sample_direct(
 
     # --- SPOT (light.h:324-346) ----------------------------------------
     cos_o_s = -dot(dir_p, n)
-    in_cone = cos_o_s >= lights.cos_angle[li]
+    in_cone = cos_o_s >= cos_angle
     rad_s = jnp.where(in_cone[..., None], intensity / distsq_p[..., None], 0.0)
-    pdf_emit_s = jnp.where(in_cone, uniform_cone_pdf(lights.cos_angle[li]), 0.0)
+    pdf_emit_s = jnp.where(in_cone, uniform_cone_pdf(cos_angle), 0.0)
     pdf_dir_s = distsq_p
 
     # --- select ---------------------------------------------------------
@@ -208,15 +227,19 @@ def sample_emit(
 ) -> EmitSample:
     """Sample an outgoing photon ray from light `light_idx` (light pass)."""
     li = jnp.maximum(light_idx, 0)
-    kind = lights.kind[li]
-    p0 = lights.p0[li]
-    n = lights.normal[li]
-    intensity = lights.intensity[li]
+    rec = lights.rec[li]
+    kind = _bits(rec[:, 0])
+    p0 = rec[:, 1:4]
+    p1 = rec[:, 4:7]
+    p2 = rec[:, 7:10]
+    n = rec[:, 10:13]
+    intensity = rec[:, 13:16]
+    cos_angle = rec[:, 17]
 
     # --- TRI (light.h:109-143) -----------------------------------------
-    area = jnp.maximum(lights.area[li], 1e-12)
+    area = jnp.maximum(rec[:, 16], 1e-12)
     tu, tv = sample_uniform_triangle(u1, u2)
-    pos_t = tu[..., None] * p0 + tv[..., None] * lights.p1[li] + (1.0 - tu - tv)[..., None] * lights.p2[li]
+    pos_t = tu[..., None] * p0 + tv[..., None] * p1 + (1.0 - tu - tv)[..., None] * p2
     d_loc, pdf_cos = sample_cos_hemisphere(u3, u4)
     dir_t = to_world(d_loc, n)
     cos_out_t = d_loc[..., 2]
@@ -239,7 +262,7 @@ def sample_emit(
     rad_d = intensity / pdf_emit_d
 
     # --- SPOT (light.h:305-322) ----------------------------------------
-    d_cone, pdf_cone = sample_uniform_cone(lights.cos_angle[li], u3, u4)
+    d_cone, pdf_cone = sample_uniform_cone(cos_angle, u3, u4)
     dir_s = to_world(d_cone, n)
     rad_s = intensity / pdf_cone[..., None]
     pdf_emit_s = pdf_cone
@@ -314,7 +337,18 @@ def build_light_table(rows: list[dict]) -> LightTable:
     if not rows:
         # Dummy black point light so the table is never empty.
         kind[0] = LIGHT_POINT
+
+    rec = np.zeros((L, 24), np.float32)
+    rec[:, 0] = kind.view(np.float32)
+    rec[:, 1:4] = arr("p0", 0.0, 3)
+    rec[:, 4:7] = arr("p1", 0.0, 3)
+    rec[:, 7:10] = arr("p2", 0.0, 3)
+    rec[:, 10:13] = arr("normal", 0.0, 3)
+    rec[:, 13:16] = arr("intensity", 0.0, 3)
+    rec[:, 16] = arr("area", 1.0)
+    rec[:, 17] = arr("cos_angle", 0.0)
     return LightTable(
+        rec=jnp.asarray(rec),
         kind=jnp.asarray(kind),
         p0=jnp.asarray(arr("p0", 0.0, 3)),
         p1=jnp.asarray(arr("p1", 0.0, 3)),

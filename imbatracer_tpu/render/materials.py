@@ -56,8 +56,16 @@ MAT_GLOSSY = 3
 
 @flax.struct.dataclass
 class MaterialTable:
-    """SoA material storage; one row per scene material."""
+    """SoA material storage; one row per scene material.
 
+    `rec` is the wide-record view used by per-ray gathers (one fast
+    (R, 24) row gather — see accel/flatten.py for the rationale):
+      [kind(0, i32 bits), kd(1:4), ks(4:7), tf(7:10), ns(10), ior(11),
+       emit(12:15), kd_tex(15, i32 bits), bump_tex(16, i32 bits),
+       mask_tex(17, i32 bits), pad(18:24)]
+    """
+
+    rec: jnp.ndarray       # (M, 24) f32 wide record
     kind: jnp.ndarray      # (M,) i32
     kd: jnp.ndarray        # (M, 3) diffuse albedo (DIFFUSE, GLOSSY)
     ks: jnp.ndarray        # (M, 3) specular scale / reflectance
@@ -71,22 +79,30 @@ class MaterialTable:
 
 
 class MatParams(dict):
-    """Per-ray gathered material parameters (kind, kd, ks, tf, ns, ior).
-
-    kd is post-texture-lookup.  Plain dict so it stays a pytree.
+    """Per-ray gathered material parameters (kind, kd, ks, tf, ns, ior,
+    plus texture ids).  kd is post-texture-lookup.  Plain dict so it stays
+    a pytree.
     """
 
 
 def gather_params(table: MaterialTable, mat_id: jnp.ndarray, kd_override=None) -> MatParams:
+    import jax.lax
+
     m = jnp.maximum(mat_id, 0)
-    kd = table.kd[m] if kd_override is None else kd_override
+    rec = table.rec[m]
+    bits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
+    kd = rec[:, 1:4] if kd_override is None else kd_override
     return MatParams(
-        kind=table.kind[m],
+        kind=bits(0),
         kd=kd,
-        ks=table.ks[m],
-        tf=table.tf[m],
-        ns=table.ns[m],
-        ior=table.ior[m],
+        ks=rec[:, 4:7],
+        tf=rec[:, 7:10],
+        ns=rec[:, 10],
+        ior=rec[:, 11],
+        emit=rec[:, 12:15],
+        kd_tex=bits(15),
+        bump_tex=bits(16),
+        mask_tex=bits(17),
     )
 
 

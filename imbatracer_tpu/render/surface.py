@@ -40,31 +40,36 @@ class SurfaceInteraction(NamedTuple):
 
 def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> SurfaceInteraction:
     """Gather per-hit shading data. `hit.prim_id` < 0 rows produce garbage
-    that callers must mask; gathers are clamped so they stay in bounds."""
+    that callers must mask; gathers are clamped so they stay in bounds.
+
+    Exactly two wide-record gathers (triangle attributes + material row);
+    see scene/types.py TriAttrs.rec for the layout and accel/flatten.py
+    for why wide rows matter on TPU.
+    """
+    import jax.lax
+
     prim = jnp.maximum(hit.prim_id, 0)
-    attrs = scene.attrs
+    rec = scene.attrs.rec[prim]          # (R, 24)
     w0 = (1.0 - hit.u - hit.v)[..., None]
     wu = hit.u[..., None]
     wv = hit.v[..., None]
 
-    uv = w0 * attrs.uv0[prim] + wu * attrs.uv1[prim] + wv * attrs.uv2[prim]
-    n = normalize(w0 * attrs.n0[prim] + wu * attrs.n1[prim] + wv * attrs.n2[prim])
-    gn = attrs.gn[prim]
-    mat_id = attrs.mat_id[prim]
-    light_id = attrs.light_id[prim]
+    uv = w0 * rec[:, 12:14] + wu * rec[:, 14:16] + wv * rec[:, 16:18]
+    n = normalize(w0 * rec[:, 0:3] + wu * rec[:, 3:6] + wv * rec[:, 6:9])
+    gn = rec[:, 9:12]
+    mat_id = jax.lax.bitcast_convert_type(rec[:, 18], jnp.int32)
+    light_id = jax.lax.bitcast_convert_type(rec[:, 19], jnp.int32)
 
-    mats = scene.materials
-    kd_tex = mats.kd_tex[mat_id]
-    kd = mats.kd[mat_id]
+    params = mat_mod.gather_params(scene.materials, mat_id)
     kd = jnp.where(
-        (kd_tex >= 0)[..., None],
-        sample_bilinear(scene.textures, kd_tex, uv[..., 0], uv[..., 1]),
-        kd,
+        (params["kd_tex"] >= 0)[..., None],
+        sample_bilinear(scene.textures, params["kd_tex"], uv[..., 0], uv[..., 1]),
+        params["kd"],
     )
-    params = mat_mod.gather_params(mats, mat_id, kd_override=kd)
+    params["kd"] = kd
 
     if has_bump:
-        n = _bump_normal(scene, mats.bump_tex[mat_id], uv, n)
+        n = _bump_normal(scene, params["bump_tex"], uv, n)
 
     # Shading normal must live in the geometric hemisphere
     # (integrator.h:115-120).

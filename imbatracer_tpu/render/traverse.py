@@ -1,5 +1,4 @@
-"""Stackless threaded-BVH traversal (pure jnp; the Pallas kernel in
-`ops/` shares this exact data layout).
+"""Stackless threaded-BVH traversal, tuned for the TPU memory system.
 
 Replaces the reference's external AnyDSL kernels
 `intersect_*_masked_instanced` / `occluded_*_masked_instanced`
@@ -8,10 +7,21 @@ with an on-device, branch-free per-lane state machine:
 
     next = bbox_hit ? hit_link : miss_link
 
-Each iteration of the while-loop advances *every* ray one node; finished
-rays idle at node == -1.  Leaf packets are a fixed 4-wide Moller-Trumbore.
-Instancing is resolved at build time (world-space flattening), so a single
-BVH serves the whole scene; transparency masks hook in via `alpha_fn`.
+Each while-loop iteration advances *every* ray by one node; finished rays
+idle at node == -1.  Two TPU-specific design rules (measured, see
+scripts/profile_gather.py):
+
+1. Gathers of wide contiguous rows (>= 8 f32) run ~100x faster than
+   per-scalar or (N, 3)-row gathers -> exactly two gathers per step:
+   one (R, 16) node record and one (R, 48) leaf record (4 packed
+   triangles).  Integer links/ids travel as f32 bit patterns inside the
+   records.
+2. Reductions/selects over tiny minor axes (argmin over 4, take_along_axis)
+   are slow -> the 4-wide leaf test is an unrolled sequential
+   best-hit update over (R,)-shaped component arrays (transposed form).
+
+Instancing is resolved at build time (world-space flattening); alpha masks
+hook in via `alpha_fn(tri_id, u, v) -> opaque`.
 """
 
 from __future__ import annotations
@@ -23,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..accel.device import DeviceBvh
-from .intersect import BIG, ray_aabb, ray_triangle, safe_inv_dir
+from .intersect import BIG
 
 LEAF_WIDTH = 4
 
@@ -35,23 +45,96 @@ class Hit(NamedTuple):
     v: jnp.ndarray        # (R,) f32 barycentric
 
 
-def _leaf_packet_test(bvh, org, d, tmin, tmax, node, do_leaf, alpha_fn):
-    """Test the 4-triangle packet of `node` for lanes where do_leaf."""
-    base = jnp.where(do_leaf, bvh.leaf_start[node], 0)
-    idx = base[:, None] + jnp.arange(LEAF_WIDTH, dtype=jnp.int32)[None, :]
-    tv0 = bvh.tri_v0[idx]
-    te1 = bvh.tri_e1[idx]
-    te2 = bvh.tri_e2[idx]
-    t4, u4, v4, h4 = ray_triangle(
-        org[:, None, :], d[:, None, :], tv0, te1, te2, tmin[:, None], tmax[:, None]
+def _bits_to_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _components(a):
+    return a[:, 0], a[:, 1], a[:, 2]
+
+
+def _safe_inv(x, eps=1e-12):
+    s = jnp.where(x >= 0.0, 1.0, -1.0)
+    return s / jnp.maximum(jnp.abs(x), eps)
+
+
+def _mt_packet(leaf, j, ox, oy, oz, dx, dy, dz, tmin, tmax, alpha_fn):
+    """Moller-Trumbore for packed triangle j of the gathered leaf records.
+
+    All operands are (R,) components; returns (t, u, v, id, ok)."""
+    b = j * 12
+    v0x, v0y, v0z = leaf[:, b + 0], leaf[:, b + 1], leaf[:, b + 2]
+    e1x, e1y, e1z = leaf[:, b + 3], leaf[:, b + 4], leaf[:, b + 5]
+    e2x, e2y, e2z = leaf[:, b + 6], leaf[:, b + 7], leaf[:, b + 8]
+    tid = _bits_to_i32(leaf[:, b + 9])
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = (
+        (inv_det != 0.0)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmin)
+        & (t < tmax)
+        & (tid >= 0)
     )
-    h4 = h4 & do_leaf[:, None]
     if alpha_fn is not None:
-        # Transparency-masked traversal (reference: "masked" kernel variants,
-        # core/mask.h): drop hits whose alpha mask samples to transparent.
-        h4 = h4 & alpha_fn(bvh.tri_id[idx], u4, v4)
-    t4 = jnp.where(h4, t4, BIG)
-    return idx, t4, u4, v4, h4
+        # Transparency-masked traversal (reference: "masked" kernel
+        # variants, core/mask.h): drop alpha-masked-out hits.
+        ok = ok & alpha_fn(jnp.maximum(tid, 0), u, v)
+    return t, u, v, tid, ok
+
+
+def _prep(org, d, tmin, tmax, active):
+    num_r = org.shape[0]
+    vary = jnp.zeros_like(org[:, 0])
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,)) + vary
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,)) + vary
+    ox, oy, oz = _components(org)
+    dx, dy, dz = _components(d)
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    start = jnp.zeros_like(tmin, dtype=jnp.int32)
+    if active is not None:
+        start = jnp.where(active, start, -1)
+    return (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start)
+
+
+def _node_fetch(bvh, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
+    """One wide gather + slab test. Returns (box_hit, hit_link, miss_link,
+    leaf_id)."""
+    rec = bvh.nodes16[node]
+    tx0 = (rec[:, 0] - ox) * ix
+    tx1 = (rec[:, 3] - ox) * ix
+    ty0 = (rec[:, 1] - oy) * iy
+    ty1 = (rec[:, 4] - oy) * iy
+    tz0 = (rec[:, 2] - oz) * iz
+    tz1 = (rec[:, 5] - oz) * iz
+    t_near = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.minimum(tz0, tz1),
+    )
+    t_far = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.maximum(tz0, tz1),
+    )
+    box_hit = (t_near <= t_far) & (t_far >= tmin) & (t_near <= t_limit) & active
+    return (
+        box_hit,
+        _bits_to_i32(rec[:, 6]),
+        _bits_to_i32(rec[:, 7]),
+        _bits_to_i32(rec[:, 8]),
+    )
 
 
 @partial(jax.jit, static_argnames=("alpha_fn",))
@@ -69,59 +152,44 @@ def closest_hit(
     org/d: (R, 3); tmin/tmax: scalar or (R,).  Lanes where `active` is
     False skip traversal entirely (start at the terminal node).
     """
-    num_r = org.shape[0]
-    # Adding a zeros term derived from `org` keeps tmin/tmax device-varying
-    # under shard_map even when callers pass plain scalars.
-    vary = jnp.zeros_like(org[:, 0])
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,)) + vary
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,)) + vary
-    inv_d = safe_inv_dir(d)
-    # Derive loop-carry inits from the inputs (zeros_like etc.) so they
-    # inherit device-varying-ness under shard_map.
-    zero_i = jnp.zeros_like(tmin, dtype=jnp.int32)
-    start = zero_i
-    if active is not None:
-        start = jnp.where(active, start, -1)
-
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
+        org, d, tmin, tmax, active
+    )
     init = (
-        start,                                      # current node
-        jnp.asarray(tmax),                          # best t (doubles as ray tmax)
-        zero_i - 1,                                 # best packed-slot index
-        jnp.zeros_like(tmin),                       # u
-        jnp.zeros_like(tmin),                       # v
+        start,                               # current node
+        tmax,                                # best t (doubles as ray tmax)
+        jnp.zeros_like(start) - 1,           # best primitive id
+        jnp.zeros_like(tmin),                # u
+        jnp.zeros_like(tmin),                # v
     )
 
     def cond(state):
         return jnp.any(state[0] >= 0)
 
     def body(state):
-        node_raw, best_t, best_slot, best_u, best_v = state
-        active = node_raw >= 0
+        node_raw, best_t, best_id, best_u, best_v = state
+        act = node_raw >= 0
         node = jnp.maximum(node_raw, 0)
-
-        box_hit = (
-            ray_aabb(org, inv_d, bvh.node_min[node], bvh.node_max[node], tmin, best_t)
-            & active
+        box_hit, hit_link, miss_link, leaf_id = _node_fetch(
+            bvh, node, ox, oy, oz, ix, iy, iz, tmin, best_t, act
         )
-        do_leaf = box_hit & (bvh.leaf_start[node] >= 0)
-        idx, t4, u4, v4, _ = _leaf_packet_test(
-            bvh, org, d, tmin, best_t, node, do_leaf, alpha_fn
-        )
-        k = jnp.argmin(t4, axis=-1)
-        take = lambda a: jnp.take_along_axis(a, k[:, None], axis=-1)[:, 0]
-        tk = take(t4)
-        closer = tk < best_t
-        best_t = jnp.where(closer, tk, best_t)
-        best_slot = jnp.where(closer, take(idx).astype(jnp.int32), best_slot)
-        best_u = jnp.where(closer, take(u4), best_u)
-        best_v = jnp.where(closer, take(v4), best_v)
+        do_leaf = box_hit & (leaf_id >= 0)
+        leaf = bvh.leaf48[jnp.where(do_leaf, leaf_id, 0)]
+        for j in range(LEAF_WIDTH):
+            t, u, v, tid, ok = _mt_packet(
+                leaf, j, ox, oy, oz, dx, dy, dz, tmin, best_t, alpha_fn
+            )
+            closer = ok & do_leaf
+            best_t = jnp.where(closer, t, best_t)
+            best_id = jnp.where(closer, tid, best_id)
+            best_u = jnp.where(closer, u, best_u)
+            best_v = jnp.where(closer, v, best_v)
 
-        nxt = jnp.where(box_hit, bvh.hit_link[node], bvh.miss_link[node])
-        node_raw = jnp.where(active, nxt, -1)
-        return node_raw, best_t, best_slot, best_u, best_v
+        nxt = jnp.where(box_hit, hit_link, miss_link)
+        node_raw = jnp.where(act, nxt, -1)
+        return node_raw, best_t, best_id, best_u, best_v
 
-    _, t, slot, u, v = jax.lax.while_loop(cond, body, init)
-    prim_id = jnp.where(slot >= 0, bvh.tri_id[jnp.maximum(slot, 0)], -1)
+    _, t, prim_id, u, v = jax.lax.while_loop(cond, body, init)
     t = jnp.where(prim_id >= 0, t, BIG)
     return Hit(t=t, prim_id=prim_id, u=u, v=v)
 
@@ -141,17 +209,9 @@ def any_hit(
     Early-outs per lane the moment an occluder is found (the reference's
     `occluded_*` kernels, ray_queue.h:296-343).
     """
-    num_r = org.shape[0]
-    # Adding a zeros term derived from `org` keeps tmin/tmax device-varying
-    # under shard_map even when callers pass plain scalars.
-    vary = jnp.zeros_like(org[:, 0])
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,)) + vary
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,)) + vary
-    inv_d = safe_inv_dir(d)
-    start = jnp.zeros_like(tmin, dtype=jnp.int32)
-    if active is not None:
-        start = jnp.where(active, start, -1)
-
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
+        org, d, tmin, tmax, active
+    )
     init = (start, jnp.zeros_like(tmin, dtype=jnp.bool_))
 
     def cond(state):
@@ -159,19 +219,23 @@ def any_hit(
 
     def body(state):
         node_raw, occluded = state
-        active = node_raw >= 0
+        act = node_raw >= 0
         node = jnp.maximum(node_raw, 0)
-        box_hit = (
-            ray_aabb(org, inv_d, bvh.node_min[node], bvh.node_max[node], tmin, tmax)
-            & active
+        box_hit, hit_link, miss_link, leaf_id = _node_fetch(
+            bvh, node, ox, oy, oz, ix, iy, iz, tmin, tmax, act
         )
-        do_leaf = box_hit & (bvh.leaf_start[node] >= 0)
-        _, _, _, _, h4 = _leaf_packet_test(bvh, org, d, tmin, tmax, node, do_leaf, alpha_fn)
-        found = jnp.any(h4, axis=-1)
+        do_leaf = box_hit & (leaf_id >= 0)
+        leaf = bvh.leaf48[jnp.where(do_leaf, leaf_id, 0)]
+        found = jnp.zeros_like(act)
+        for j in range(LEAF_WIDTH):
+            _, _, _, _, ok = _mt_packet(
+                leaf, j, ox, oy, oz, dx, dy, dz, tmin, tmax, alpha_fn
+            )
+            found = found | (ok & do_leaf)
         occluded = occluded | found
 
-        nxt = jnp.where(box_hit, bvh.hit_link[node], bvh.miss_link[node])
-        node_raw = jnp.where(active & ~found, nxt, -1)
+        nxt = jnp.where(box_hit, hit_link, miss_link)
+        node_raw = jnp.where(act & ~found, nxt, -1)
         return node_raw, occluded
 
     _, occluded = jax.lax.while_loop(cond, body, init)

@@ -377,7 +377,20 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
     logger.info("BVH: %s in %.2fs", threaded.stats, time.time() - t_bvh)
 
     arr = lambda key, dt=np.float32: np.asarray([m[key] for m in mat_rows], dt)
+    M = len(mat_rows)
+    mat_rec = np.zeros((M, 24), np.float32)
+    mat_rec[:, 0] = arr("kind", np.int32).view(np.float32)
+    mat_rec[:, 1:4] = arr("kd")
+    mat_rec[:, 4:7] = arr("ks")
+    mat_rec[:, 7:10] = arr("tf")
+    mat_rec[:, 10] = arr("ns")
+    mat_rec[:, 11] = arr("ior")
+    mat_rec[:, 12:15] = arr("emit")
+    mat_rec[:, 15] = arr("kd_tex", np.int32).view(np.float32)
+    mat_rec[:, 16] = arr("bump_tex", np.int32).view(np.float32)
+    mat_rec[:, 17] = arr("mask_tex", np.int32).view(np.float32)
     material_table = mat_mod.MaterialTable(
+        rec=jnp.asarray(mat_rec),
         kind=jnp.asarray(arr("kind", np.int32)),
         kd=jnp.asarray(arr("kd")), ks=jnp.asarray(arr("ks")),
         tf=jnp.asarray(arr("tf")), ns=jnp.asarray(arr("ns")),
@@ -387,13 +400,29 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
         mask_tex=jnp.asarray(arr("mask_tex", np.int32)),
     )
 
+    gn = _geom_normals(v0, v1, v2)
+    F = v0.shape[0]
+    attr_rec = np.zeros((F, 24), np.float32)
+    attr_rec[:, 0:3] = attrs["n0"]
+    attr_rec[:, 3:6] = attrs["n1"]
+    attr_rec[:, 6:9] = attrs["n2"]
+    attr_rec[:, 9:12] = gn
+    attr_rec[:, 12:14] = attrs["uv0"]
+    attr_rec[:, 14:16] = attrs["uv1"]
+    attr_rec[:, 16:18] = attrs["uv2"]
+    attr_rec[:, 18] = attrs["mat_id"].astype(np.int32).view(np.float32)
+    attr_rec[:, 19] = attrs["light_id"].astype(np.int32).view(np.float32)
+    attr_rec[:, 20] = attrs["inst_id"].astype(np.int32).view(np.float32)
+    attr_rec[:, 21] = attrs["local_id"].astype(np.int32).view(np.float32)
+
     scene = DeviceScene(
         bvh=DeviceBvh.from_threaded(threaded),
         attrs=TriAttrs(
+            rec=jnp.asarray(attr_rec),
             n0=jnp.asarray(attrs["n0"]), n1=jnp.asarray(attrs["n1"]),
             n2=jnp.asarray(attrs["n2"]), uv0=jnp.asarray(attrs["uv0"]),
             uv1=jnp.asarray(attrs["uv1"]), uv2=jnp.asarray(attrs["uv2"]),
-            gn=jnp.asarray(_geom_normals(v0, v1, v2)),
+            gn=jnp.asarray(gn),
             mat_id=jnp.asarray(attrs["mat_id"]),
             light_id=jnp.asarray(attrs["light_id"]),
             inst_id=jnp.asarray(attrs["inst_id"]),

@@ -26,8 +26,17 @@ from .textures import TextureAtlas
 
 @flax.struct.dataclass
 class TriAttrs:
-    """Per flat (world-space) triangle shading attributes."""
+    """Per flat (world-space) triangle shading attributes.
 
+    `rec` is the wide-record view read by the hot path (one fast (R, 24)
+    gather per hit instead of ~10 narrow ones — see accel/flatten.py for
+    the TPU gather-width rationale):
+      [n0(0:3), n1(3:6), n2(6:9), gn(9:12), uv0(12:14), uv1(14:16),
+       uv2(16:18), mat_id(18, i32 bits), light_id(19, i32 bits),
+       inst_id(20, i32 bits), local_id(21, i32 bits), pad(22:24)]
+    """
+
+    rec: jnp.ndarray      # (F, 24) f32 wide record (layout above)
     n0: jnp.ndarray       # (F, 3) shading normal at vert 0
     n1: jnp.ndarray       # (F, 3)
     n2: jnp.ndarray       # (F, 3)
