@@ -71,6 +71,7 @@ def trace_paths(
     has_masks: bool = False,
     has_bump: bool = False,
     with_stats: bool = False,
+    max_steps: int = 0,
 ):
     """Trace a batch of camera paths to completion.
 
@@ -100,7 +101,7 @@ def trace_paths(
     def bounce_body(i, c):
         hit = closest_hit(
             scene.bvh, c["org"], c["d"], c["tmin"], BIG,
-            alpha_fn=alpha_fn, active=c["active"],
+            alpha_fn=alpha_fn, active=c["active"], max_steps=max_steps,
         )
         n_rays = c["n_rays"] + jnp.sum(c["active"].astype(jnp.int32))
 
@@ -176,7 +177,7 @@ def trace_paths(
         offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
         occluded = any_hit(
             scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
-            alpha_fn=alpha_fn, active=shadow_ok,
+            alpha_fn=alpha_fn, active=shadow_ok, max_steps=max_steps,
         )
         radiance = radiance + jnp.where((shadow_ok & ~occluded)[..., None], contrib, 0.0)
         n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
@@ -228,7 +229,7 @@ def camera_rays(cam: Camera, width: int, height: int, spp: int, frame):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_len", "has_masks", "has_bump", "with_stats"),
+    static_argnames=("width", "height", "spp", "max_len", "has_masks", "has_bump", "with_stats", "max_steps"),
 )
 def render_pt_frame(
     scene,
@@ -241,6 +242,7 @@ def render_pt_frame(
     has_masks: bool = False,
     has_bump: bool = False,
     with_stats: bool = False,
+    max_steps: int = 0,
 ):
     """Render one progressive frame; returns an un-normalised (H*W, 3)
     radiance-sum film (divide by frames*spp for display, as the render
@@ -249,6 +251,7 @@ def render_pt_frame(
     out = trace_paths(
         scene, org, d, state, max_len,
         has_masks=has_masks, has_bump=has_bump, with_stats=with_stats,
+        max_steps=max_steps,
     )
     if with_stats:
         radiance, n_rays = out

@@ -86,7 +86,7 @@ def _gather_vertex_params(scene, cache: LightVertexCache, idx):
 
 def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
                 mis_eta_vm, *, algo, num_pixels, light_path_count, max_len,
-                cache_capacity, has_masks, has_bump, alpha_fn):
+                cache_capacity, has_masks, has_bump, alpha_fn, max_steps=0):
     num_lights = scene.lights.kind.shape[0]
     L = light_path_count
     pdf_lightpick = 1.0 / num_lights
@@ -125,7 +125,8 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
 
     def body(i, c):
         hit = closest_hit(scene.bvh, c["org"], c["d"], c["tmin"], BIG,
-                          alpha_fn=alpha_fn, active=c["active"])
+                          alpha_fn=alpha_fn, active=c["active"],
+                          max_steps=max_steps)
         # Light rays ignore the environment (vcm.cpp:210-212).
         active = c["active"] & (hit.prim_id >= 0)
         isect = make_interaction(scene, hit, c["org"], c["d"], has_bump=has_bump)
@@ -159,6 +160,7 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
             film = film + _connect_to_camera(
                 scene, cam, isect, c["throughput"], d_vc, d_vcm,
                 active & non_spec, mis_eta_vm, L, num_pixels, algo, alpha_fn,
+                max_steps,
             )
 
         # Adjoint bounce (vcm.cpp:134-190).
@@ -179,12 +181,15 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
 
 
 def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
-                       mis_eta_vm, light_path_count, num_pixels, algo, alpha_fn):
+                       mis_eta_vm, light_path_count, num_pixels, algo, alpha_fn,
+                       max_steps=0):
     to_cam = cam.pos - isect.pos
-    behind = dot(-to_cam, cam.forward) >= 0.0
+    # Keep vertices in front of the camera (vcm.cpp:264-265 skips when
+    # dot(-dir_to_cam, cam.dir) < 0).
+    in_front = dot(-to_cam, cam.forward) >= 0.0
     rx, ry, _ = world_to_raster(cam, isect.pos)
     pixel = raster_to_id(cam, rx, ry)
-    valid = valid & ~behind & (pixel >= 0)
+    valid = valid & in_front & (pixel >= 0)
 
     dist_sqr = jnp.maximum(dot(to_cam, to_cam), 1e-12)
     dist = jnp.sqrt(dist_sqr)
@@ -211,7 +216,7 @@ def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
 
     offset = dist * 1e-3
     occluded = any_hit(scene.bvh, isect.pos, dir_c, offset, dist - offset,
-                       alpha_fn=alpha_fn, active=valid)
+                       alpha_fn=alpha_fn, active=valid, max_steps=max_steps)
     ok = valid & ~occluded
     return splat(jnp.where(ok[..., None], contrib, 0.0),
                  jnp.where(ok, pixel, -1), num_pixels)
@@ -278,7 +283,7 @@ def _bounce(scene, isect, throughput, d_vc, d_vcm, d_vm, active, state, hit,
 def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                  mis_eta_vc, mis_eta_vm, *, algo, width, height, spp, max_len,
                  light_path_count, num_connections, num_knn, table_size,
-                 max_per_cell, has_masks, has_bump, alpha_fn):
+                 max_per_cell, has_masks, has_bump, alpha_fn, max_steps=0):
     num_pixels = width * height
     num_lights = scene.lights.kind.shape[0]
     org, d, state, pixel_id = camera_rays(cam, width, height, spp, frame)
@@ -302,7 +307,8 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
 
     def body(i, c):
         hit = closest_hit(scene.bvh, c["org"], c["d"], c["tmin"], BIG,
-                          alpha_fn=alpha_fn, active=c["active"])
+                          alpha_fn=alpha_fn, active=c["active"],
+                          max_steps=max_steps)
         radiance = c["radiance"]
 
         # --- env misses (vcm.cpp:338-365; skipped for the PT variant) ---
@@ -367,7 +373,7 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
         if algo != "ppm":
             st, radiance = _direct_illum(
                 scene, isect, c["throughput"], d_vc, d_vcm, active, st,
-                radiance, mis_eta_vm, num_lights, algo, alpha_fn,
+                radiance, mis_eta_vm, num_lights, algo, alpha_fn, max_steps,
             )
 
         # --- vertex connections (vcm.cpp:429-431, 488-569) --------------
@@ -378,7 +384,7 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                     active & non_spec, st, radiance, mis_eta_vm,
                     light_path_count, num_connections, max_len,
                     cam_path_length=i + 1, base_radius=base_radius,
-                    alpha_fn=alpha_fn,
+                    alpha_fn=alpha_fn, max_steps=max_steps,
                 )
 
         # --- vertex merging (vcm.cpp:433-436, 571-611) ------------------
@@ -404,7 +410,7 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
 
 
 def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
-                  radiance, mis_eta_vm, num_lights, algo, alpha_fn):
+                  radiance, mis_eta_vm, num_lights, algo, alpha_fn, max_steps=0):
     state, (ul, ua, ub) = rng_mod.next_floats(state, 3)
     light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
     ds = light_mod.sample_direct(
@@ -427,14 +433,15 @@ def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
     ok = ok & jnp.any(contrib > 0.0, axis=-1)
     offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
     occluded = any_hit(scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
-                       alpha_fn=alpha_fn, active=ok)
+                       alpha_fn=alpha_fn, active=ok, max_steps=max_steps)
     radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
     return state, radiance
 
 
 def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
              active, state, radiance, mis_eta_vm, light_path_count,
-             num_connections, max_len, *, cam_path_length, base_radius, alpha_fn):
+             num_connections, max_len, *, cam_path_length, base_radius, alpha_fn,
+             max_steps=0):
     """One vertex connection per ray (vcm.cpp:488-569)."""
     state, (uc,) = rng_mod.next_floats(state, 1)
     count = cache.count
@@ -488,7 +495,7 @@ def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
 
     offset = 1e-3 * dist
     occluded = any_hit(scene.bvh, isect.pos, cdir, offset, dist - offset,
-                       alpha_fn=alpha_fn, active=ok)
+                       alpha_fn=alpha_fn, active=ok, max_steps=max_steps)
     radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
     return state, radiance
 
@@ -536,7 +543,7 @@ def _vertex_merging(scene, cache: LightVertexCache, grid, isect, throughput,
 @partial(jax.jit, static_argnames=(
     "algo", "width", "height", "spp", "max_len", "light_path_count",
     "num_connections", "num_knn", "cache_capacity", "table_size",
-    "max_per_cell", "has_masks", "has_bump",
+    "max_per_cell", "has_masks", "has_bump", "max_steps",
 ))
 def render_vcm_frame(
     scene,
@@ -557,6 +564,7 @@ def render_vcm_frame(
     max_per_cell: int = 16,
     has_masks: bool = False,
     has_bump: bool = False,
+    max_steps: int = 0,
 ):
     """One progressive VCM-family frame; returns the un-normalised film.
 
@@ -594,7 +602,7 @@ def render_vcm_frame(
             algo=algo, num_pixels=num_pixels,
             light_path_count=light_path_count, max_len=max_len,
             cache_capacity=cache_capacity, has_masks=has_masks,
-            has_bump=has_bump, alpha_fn=alpha_fn,
+            has_bump=has_bump, alpha_fn=alpha_fn, max_steps=max_steps,
         )
         film = film + light_film
         if algo in ("vcm", "ppm"):
@@ -609,6 +617,7 @@ def render_vcm_frame(
             num_connections=num_connections, num_knn=num_knn,
             table_size=table_size, max_per_cell=max_per_cell,
             has_masks=has_masks, has_bump=has_bump, alpha_fn=alpha_fn,
+            max_steps=max_steps,
         )
 
     return film

@@ -244,7 +244,7 @@ def sample_emit(
     dir_t = to_world(d_loc, n)
     cos_out_t = d_loc[..., 2]
     degen = pdf_cos <= 0.0
-    rad_t = jnp.where(degen[..., None], 0.0, intensity * (area * PI))
+    rad_t = jnp.where(degen[..., None], 0.0, intensity * (area * PI)[..., None])
     pdf_emit_t = jnp.where(degen, 1.0, pdf_cos / area)
     pdf_direct_t = jnp.where(degen, 1.0, 1.0 / area)
     cos_out_t = jnp.where(degen, 0.0, cos_out_t)

@@ -137,7 +137,7 @@ def _node_fetch(bvh, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
     )
 
 
-@partial(jax.jit, static_argnames=("alpha_fn",))
+@partial(jax.jit, static_argnames=("alpha_fn", "max_steps"))
 def closest_hit(
     bvh: DeviceBvh,
     org: jnp.ndarray,
@@ -146,15 +146,25 @@ def closest_hit(
     tmax: jnp.ndarray,
     alpha_fn: Optional[Callable] = None,
     active: Optional[jnp.ndarray] = None,
+    max_steps: int = 0,
 ) -> Hit:
     """Closest-hit traversal for a batch of rays.
 
     org/d: (R, 3); tmin/tmax: scalar or (R,).  Lanes where `active` is
     False skip traversal entirely (start at the terminal node).
+
+    The loop is a *static-trip* fori_loop: a data-dependent while-loop
+    condition would synchronise with the host every iteration (measured
+    ~33 ms per iteration through the axon tunnel).  `max_steps` defaults
+    to the node count (the exact worst case for threaded traversal);
+    callers with deep scenes can cap it lower and accept a bounded
+    false-miss probability (validated in tests).
     """
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
+    if max_steps <= 0:
+        max_steps = bvh.nodes16.shape[0]
     init = (
         start,                               # current node
         tmax,                                # best t (doubles as ray tmax)
@@ -163,10 +173,7 @@ def closest_hit(
         jnp.zeros_like(tmin),                # v
     )
 
-    def cond(state):
-        return jnp.any(state[0] >= 0)
-
-    def body(state):
+    def body(_, state):
         node_raw, best_t, best_id, best_u, best_v = state
         act = node_raw >= 0
         node = jnp.maximum(node_raw, 0)
@@ -189,12 +196,12 @@ def closest_hit(
         node_raw = jnp.where(act, nxt, -1)
         return node_raw, best_t, best_id, best_u, best_v
 
-    _, t, prim_id, u, v = jax.lax.while_loop(cond, body, init)
+    _, t, prim_id, u, v = jax.lax.fori_loop(0, max_steps, body, init)
     t = jnp.where(prim_id >= 0, t, BIG)
     return Hit(t=t, prim_id=prim_id, u=u, v=v)
 
 
-@partial(jax.jit, static_argnames=("alpha_fn",))
+@partial(jax.jit, static_argnames=("alpha_fn", "max_steps"))
 def any_hit(
     bvh: DeviceBvh,
     org: jnp.ndarray,
@@ -203,6 +210,7 @@ def any_hit(
     tmax: jnp.ndarray,
     alpha_fn: Optional[Callable] = None,
     active: Optional[jnp.ndarray] = None,
+    max_steps: int = 0,
 ) -> jnp.ndarray:
     """Occlusion query: True where *any* primitive blocks (tmin, tmax).
 
@@ -212,12 +220,11 @@ def any_hit(
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
+    if max_steps <= 0:
+        max_steps = bvh.nodes16.shape[0]
     init = (start, jnp.zeros_like(tmin, dtype=jnp.bool_))
 
-    def cond(state):
-        return jnp.any(state[0] >= 0)
-
-    def body(state):
+    def body(_, state):
         node_raw, occluded = state
         act = node_raw >= 0
         node = jnp.maximum(node_raw, 0)
@@ -238,5 +245,5 @@ def any_hit(
         node_raw = jnp.where(act & ~found, nxt, -1)
         return node_raw, occluded
 
-    _, occluded = jax.lax.while_loop(cond, body, init)
+    _, occluded = jax.lax.fori_loop(0, max_steps, body, init)
     return occluded

@@ -42,9 +42,9 @@ def make_cornell_scene(with_boxes: bool = True, mirror_box: bool = False,
     add(_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), white)    # back
     add(_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), red)      # left
     add(_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), green)        # right
-    # Light quad slightly below the ceiling, facing down.
-    add(_quad((-0.3, 1.99, 0.3), (0.3, 1.99, 0.3), (0.3, 1.99, -0.3),
-              (-0.3, 1.99, -0.3)), lightm)
+    # Light quad slightly below the ceiling, facing down (normal -y).
+    add(_quad((-0.3, 1.99, -0.3), (0.3, 1.99, -0.3), (0.3, 1.99, 0.3),
+              (-0.3, 1.99, 0.3)), lightm)
 
     if with_boxes:
         bm = mirror if mirror_box else white
