@@ -33,15 +33,18 @@ def main():
 
         scene, meta = make_cornell_scene()
 
+    from imbatracer_tpu.frontend.engine import traversal_steps
+
     size = 1024
     settings = RenderSettings(width=size, height=size, spp=1, max_path_len=10)
     cam = camera_for_scene(meta, settings)
+    max_steps = traversal_steps(meta)
 
     def frame(i):
         return render_pt_frame(
             scene, cam, jnp.uint32(i), size, size,
             spp=1, max_len=settings.max_path_len,
-            has_masks=meta.has_masks, with_stats=True,
+            has_masks=meta.has_masks, with_stats=True, max_steps=max_steps,
         )
 
     # Warmup/compile.

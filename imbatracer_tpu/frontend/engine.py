@@ -55,12 +55,21 @@ def estimate_pixel_size(scene, cam: Camera, meta) -> float:
 
 
 def traversal_steps(meta) -> int:
-    """Static traversal step bound: exact for small trees; for deep trees a
-    generous multiple of the depth (validated against brute force in
-    tests/test_bvh.py)."""
+    """Static traversal mode/step bound.
+
+    -1 selects the dense zero-gather mode (every ray tests every triangle;
+    on this TPU a dynamic gather costs ~3.3 ms per 1M lanes flat, so
+    exhaustive fused arithmetic wins for small scenes).  Otherwise: exact
+    node count for small trees, a generous multiple of the depth for deep
+    ones (validated against brute force in tests/test_bvh.py)."""
     stats = meta.bvh_stats or {}
     nodes = stats.get("nodes", 0)
     depth = stats.get("max_depth", 32)
+    leaves = stats.get("leaves", 0)
+    from ..render.traverse import DENSE_MAX_TRIS, LEAF_WIDTH
+
+    if 0 < leaves * LEAF_WIDTH <= DENSE_MAX_TRIS:
+        return -1
     return int(min(max(nodes, 1), max(64, 8 * depth)))
 
 

@@ -22,6 +22,13 @@ scripts/profile_gather.py):
 
 Instancing is resolved at build time (world-space flattening); alpha masks
 hook in via `alpha_fn(tri_id, u, v) -> opaque`.
+
+Dense mode (`max_steps == -1`): for small scenes every ray tests every
+packed triangle in a statically unrolled loop — zero gathers, pure fused
+VPU arithmetic.  On this TPU a dynamic gather costs a flat ~3.3 ms per 1M
+lanes regardless of table size (XLA lowers it near-serially), while fused
+elementwise work is orders of magnitude cheaper, so exhaustive testing
+wins decisively up to several hundred triangles.
 """
 
 from __future__ import annotations
@@ -137,6 +144,72 @@ def _node_fetch(bvh, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
     )
 
 
+DENSE_MAX_TRIS = 1024
+
+
+def _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, want_hit):
+    """Statically unrolled all-triangles test (see module docstring)."""
+    (ox, oy, oz, dx, dy, dz, _, _, _, tmin, tmax, start) = _prep(
+        org, d, tmin, tmax, active
+    )
+    act = start >= 0
+    num_p = bvh.tri_v0.shape[0]
+    v0 = bvh.tri_v0
+    e1 = bvh.tri_e1
+    e2 = bvh.tri_e2
+    tid_arr = bvh.tri_id
+
+    best_t = tmax
+    best_id = jnp.zeros_like(start) - 1
+    best_u = jnp.zeros_like(tmin)
+    best_v = jnp.zeros_like(tmin)
+    occluded = jnp.zeros_like(act)
+
+    for t_idx in range(num_p):
+        v0x, v0y, v0z = v0[t_idx, 0], v0[t_idx, 1], v0[t_idx, 2]
+        e1x, e1y, e1z = e1[t_idx, 0], e1[t_idx, 1], e1[t_idx, 2]
+        e2x, e2y, e2z = e2[t_idx, 0], e2[t_idx, 1], e2[t_idx, 2]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        limit = best_t if want_hit else tmax
+        ok = (
+            (inv_det != 0.0)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (tt > tmin)
+            & (tt < limit)
+            & act
+        )
+        if alpha_fn is not None:
+            prim_b = jnp.broadcast_to(tid_arr[t_idx], ok.shape)
+            ok = ok & alpha_fn(jnp.maximum(prim_b, 0), u, v)
+        ok = ok & (tid_arr[t_idx] >= 0)
+        if want_hit:
+            best_t = jnp.where(ok, tt, best_t)
+            best_id = jnp.where(ok, tid_arr[t_idx], best_id)
+            best_u = jnp.where(ok, u, best_u)
+            best_v = jnp.where(ok, v, best_v)
+        else:
+            occluded = occluded | ok
+
+    if want_hit:
+        best_t = jnp.where(best_id >= 0, best_t, BIG)
+        return Hit(t=best_t, prim_id=best_id, u=best_u, v=best_v)
+    return occluded
+
+
 @partial(jax.jit, static_argnames=("alpha_fn", "max_steps"))
 def closest_hit(
     bvh: DeviceBvh,
@@ -160,6 +233,8 @@ def closest_hit(
     callers with deep scenes can cap it lower and accept a bounded
     false-miss probability (validated in tests).
     """
+    if max_steps == -1:
+        return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, True)
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
@@ -217,6 +292,8 @@ def any_hit(
     Early-outs per lane the moment an occluder is found (the reference's
     `occluded_*` kernels, ray_queue.h:296-343).
     """
+    if max_steps == -1:
+        return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, False)
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
