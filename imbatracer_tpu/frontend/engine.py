@@ -68,7 +68,10 @@ def traversal_steps(meta) -> int:
     leaves = stats.get("leaves", 0)
     from ..render.traverse import DENSE_MAX_TRIS, LEAF_WIDTH
 
-    if 0 < leaves * LEAF_WIDTH <= DENSE_MAX_TRIS:
+    # Dense mode is a TPU countermeasure (gathers are near-serial there);
+    # on CPU the unrolled form only bloats XLA compile time, and the
+    # looped BVH is already fast.
+    if jax.default_backend() == "tpu" and 0 < leaves * LEAF_WIDTH <= DENSE_MAX_TRIS:
         return -1
     return int(min(max(nodes, 1), max(64, 8 * depth)))
 

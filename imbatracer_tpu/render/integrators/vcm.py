@@ -341,11 +341,9 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
 
         # --- emitter hit (vcm.cpp:394-412) ------------------------------
         is_emitter = active & (isect.light_id >= 0)
-        lrow = jnp.maximum(isect.light_id, 0)
-        lrec = scene.lights.rec[lrow]
-        area = jnp.maximum(lrec[:, 16], 1e-12)
+        area = jnp.maximum(isect.area, 1e-12)
         cos_geom = dot(isect.gn, isect.w_out)
-        li = jnp.where((cos_geom > 0.0)[..., None], lrec[:, 13:16], 0.0)
+        li = jnp.where((cos_geom > 0.0)[..., None], isect.emit, 0.0)
         pdf_direct_a = jnp.where(cos_geom > 0.0, 1.0 / area, 1.0)
         # AreaEmitter pdf_emit_w measured about the geometric normal
         # (light.h:21-44).
@@ -406,7 +404,8 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                     d_vm=d_vm, state=st)
 
     out = jax.lax.fori_loop(0, max_len, body, carry)
-    return splat(out["radiance"], pixel_id, num_pixels)
+    # pixel_id is tile(arange(P), spp): reshape+sum instead of a scatter.
+    return out["radiance"].reshape(spp, num_pixels, 3).sum(axis=0)
 
 
 def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,

@@ -106,6 +106,22 @@ def _bits(col):
     return jax.lax.bitcast_convert_type(col, jnp.int32)
 
 
+UNROLL_LIGHTS = 8
+
+
+def _fetch_rows(table_rec, li):
+    """Per-ray light-record fetch.  For small tables a select-chain over
+    static rows replaces the dynamic gather (a gather costs a flat ~3.3 ms
+    per 1M rays on this TPU; 8 selects are ~free)."""
+    L = table_rec.shape[0]
+    if L <= UNROLL_LIGHTS:
+        rec = jnp.broadcast_to(table_rec[0], li.shape + (table_rec.shape[1],))
+        for l in range(1, L):
+            rec = jnp.where((li == l)[..., None], table_rec[l], rec)
+        return rec
+    return table_rec[li]
+
+
 def is_delta_kind(kind):
     return (kind == LIGHT_POINT) | (kind == LIGHT_DIR) | (kind == LIGHT_SPOT)
 
@@ -125,7 +141,7 @@ def sample_direct(
 ) -> DirectSample:
     """Sample a point/direction on light `light_idx` for NEE shadow rays."""
     li = jnp.maximum(light_idx, 0)
-    rec = lights.rec[li]
+    rec = _fetch_rows(lights.rec, li)
     kind = _bits(rec[:, 0])
     p0 = rec[:, 1:4]
     p1 = rec[:, 4:7]
@@ -227,7 +243,7 @@ def sample_emit(
 ) -> EmitSample:
     """Sample an outgoing photon ray from light `light_idx` (light pass)."""
     li = jnp.maximum(light_idx, 0)
-    rec = lights.rec[li]
+    rec = _fetch_rows(lights.rec, li)
     kind = _bits(rec[:, 0])
     p0 = rec[:, 1:4]
     p1 = rec[:, 4:7]

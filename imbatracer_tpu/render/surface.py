@@ -7,6 +7,12 @@ TPU data layout: barycentric v comes straight from the traversal kernel
 and instancing is pre-flattened so no inverse-transform is needed at
 shading time.
 
+Performance: the entire shading step needs exactly ONE wide-record gather
+(TriAttrs.shade_rec joins triangle attributes, the material row and the
+emitter data at build time) — a dynamic gather costs a flat ~3.3 ms per
+1M rays on this TPU, so gather count is the budget that matters.  Texture
+lookups are statically skipped for texture-free scenes.
+
 Conventions preserved:
 - attribute lerp weights (1-u-v, u, v)
 - bump mapping perturbs an ONB of the shading normal with central
@@ -19,37 +25,36 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.sampling import local_coordinates
 from ..core.vecmath import dot, normalize
 from ..scene.textures import sample_bilinear
 from . import materials as mat_mod
+from .traverse import Hit
 
 
 class SurfaceInteraction(NamedTuple):
-    pos: jnp.ndarray       # (R, 3) hit position
-    w_out: jnp.ndarray     # (R, 3) direction toward the origin of the ray
-    normal: jnp.ndarray    # (R, 3) shading normal (bumped, hemisphere-fixed)
-    gn: jnp.ndarray        # (R, 3) geometric normal
-    uv: jnp.ndarray        # (R, 2) texture coordinates
-    mat_id: jnp.ndarray    # (R,) i32
-    light_id: jnp.ndarray  # (R,) i32 (-1 unless emitter)
-    params: dict           # gathered per-ray material parameters
+    pos: jnp.ndarray        # (R, 3) hit position
+    w_out: jnp.ndarray      # (R, 3) direction toward the origin of the ray
+    normal: jnp.ndarray     # (R, 3) shading normal (bumped, hemisphere-fixed)
+    gn: jnp.ndarray         # (R, 3) geometric normal
+    uv: jnp.ndarray         # (R, 2) texture coordinates
+    mat_id: jnp.ndarray     # (R,) i32
+    light_id: jnp.ndarray   # (R,) i32 (-1 unless emitter)
+    emit: jnp.ndarray       # (R, 3) emitter intensity (AreaEmitter)
+    area: jnp.ndarray       # (R,) emitter triangle area
+    params: dict            # gathered per-ray material parameters
 
 
 def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> SurfaceInteraction:
-    """Gather per-hit shading data. `hit.prim_id` < 0 rows produce garbage
-    that callers must mask; gathers are clamped so they stay in bounds.
-
-    Exactly two wide-record gathers (triangle attributes + material row);
-    see scene/types.py TriAttrs.rec for the layout and accel/flatten.py
-    for why wide rows matter on TPU.
-    """
-    import jax.lax
-
+    """Gather per-hit shading data with a single wide-record gather.
+    `hit.prim_id` < 0 rows produce garbage that callers must mask."""
     prim = jnp.maximum(hit.prim_id, 0)
-    rec = scene.attrs.rec[prim]          # (R, 24)
+    rec = scene.attrs.shade_rec[prim]    # (R, 48) — the one gather
+    bits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
+
     w0 = (1.0 - hit.u - hit.v)[..., None]
     wu = hit.u[..., None]
     wv = hit.v[..., None]
@@ -57,18 +62,32 @@ def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> Surface
     uv = w0 * rec[:, 12:14] + wu * rec[:, 14:16] + wv * rec[:, 16:18]
     n = normalize(w0 * rec[:, 0:3] + wu * rec[:, 3:6] + wv * rec[:, 6:9])
     gn = rec[:, 9:12]
-    mat_id = jax.lax.bitcast_convert_type(rec[:, 18], jnp.int32)
-    light_id = jax.lax.bitcast_convert_type(rec[:, 19], jnp.int32)
+    mat_id = bits(18)
+    light_id = bits(19)
 
-    params = mat_mod.gather_params(scene.materials, mat_id)
-    kd = jnp.where(
-        (params["kd_tex"] >= 0)[..., None],
-        sample_bilinear(scene.textures, params["kd_tex"], uv[..., 0], uv[..., 1]),
-        params["kd"],
+    kd = rec[:, 23:26]
+    kd_tex = bits(38)
+    has_textures = scene.textures.texels.shape[0] > 1
+    if has_textures:
+        kd = jnp.where(
+            (kd_tex >= 0)[..., None],
+            sample_bilinear(scene.textures, kd_tex, uv[..., 0], uv[..., 1]),
+            kd,
+        )
+    params = mat_mod.MatParams(
+        kind=bits(22),
+        kd=kd,
+        ks=rec[:, 26:29],
+        tf=rec[:, 29:32],
+        ns=rec[:, 32],
+        ior=rec[:, 33],
+        emit=rec[:, 34:37],
+        kd_tex=kd_tex,
+        bump_tex=bits(39),
+        mask_tex=bits(40),
     )
-    params["kd"] = kd
 
-    if has_bump:
+    if has_bump and has_textures:
         n = _bump_normal(scene, params["bump_tex"], uv, n)
 
     # Shading normal must live in the geometric hemisphere
@@ -84,6 +103,8 @@ def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> Surface
         uv=uv,
         mat_id=mat_id,
         light_id=light_id,
+        emit=rec[:, 34:37],
+        area=rec[:, 37],
         params=params,
     )
 

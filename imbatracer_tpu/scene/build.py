@@ -330,8 +330,29 @@ def build_scene(scene_path: str, quiet: bool = False):
             env = build_envmap(env_img, desc.env_intensity)
             light_rows.append(dict(kind=light_mod.LIGHT_ENV, intensity=(1, 1, 1)))
 
+    # Disk-cache the BVH next to the scene when writable (the reference's
+    # `accel` mechanism; we key on asset fingerprints instead of trusting
+    # the file blindly).
+    from ..io import bvh_cache
+
+    mesh_files = [
+        mp if os.path.isabs(mp) else os.path.join(desc.base_dir, mp)
+        for mp in desc.mesh_paths
+    ]
+    cache_key = bvh_cache.fingerprint(mesh_files + [scene_path])
+    cache_file = ""
+    cache_dir = os.environ.get("IMBATRACER_CACHE_DIR", "/tmp/imbatracer_accel")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_file = os.path.join(
+            cache_dir, os.path.basename(scene_path) + "." + cache_key + ".npz"
+        )
+    except OSError:
+        pass
+
     device_scene = assemble_device_scene(
-        v0, v1, v2, attrs, conv.rows, light_rows, conv.textures, env
+        v0, v1, v2, attrs, conv.rows, light_rows, conv.textures, env,
+        cache_file=cache_file, cache_key=cache_key,
     )
     has_masks = any(m["mask_tex"] >= 0 for m in conv.rows)
     meta = SceneMeta(
@@ -357,12 +378,15 @@ def _geom_normals(v0, v1, v2):
     return (n / np.maximum(ln, 1e-20)).astype(np.float32)
 
 
-def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env):
+def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env,
+                          cache_file: str = "", cache_key: str = ""):
     """Shared tail of scene construction: BVH build + device upload.
 
     Used by both the file-based builder and procedural scenes
     (scene/procedural.py).  The returned DeviceScene gets a transient
-    `bvh_stats` attribute for logging.
+    `bvh_stats` attribute for logging.  With cache_file set, the threaded
+    BVH round-trips through the npz disk cache (io/bvh_cache.py), the
+    analogue of the reference's `accel` files (loaders/load_bvh.cpp).
     """
     # Bounding sphere over all instanced geometry (scene.cpp:190-201).
     lo = np.minimum(np.minimum(v0.min(0), v1.min(0)), v2.min(0))
@@ -370,11 +394,28 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
     center = 0.5 * (lo + hi)
     radius = float(np.linalg.norm(hi - center)) + 1e-6
 
-    t_bvh = time.time()
-    blo, bhi = triangle_bboxes(v0, v1, v2)
-    nodes = build_bvh(blo, bhi)
-    threaded = thread_bvh(nodes, v0, v1, v2)
-    logger.info("BVH: %s in %.2fs", threaded.stats, time.time() - t_bvh)
+    threaded = None
+    if cache_file:
+        from ..io import bvh_cache
+
+        threaded = bvh_cache.load_accel(cache_file, cache_key)
+        if threaded is not None:
+            logger.info("BVH loaded from cache: %s", threaded.stats)
+    if threaded is None:
+        t_bvh = time.time()
+        blo, bhi = triangle_bboxes(v0, v1, v2)
+        # Native C++ builder (accel/cpp) with NumPy fallback.
+        from ..accel.native import build_bvh_native
+
+        nodes = build_bvh_native(blo, bhi)
+        if nodes is None:
+            nodes = build_bvh(blo, bhi)
+        threaded = thread_bvh(nodes, v0, v1, v2)
+        logger.info("BVH: %s in %.2fs", threaded.stats, time.time() - t_bvh)
+        if cache_file:
+            from ..io import bvh_cache
+
+            bvh_cache.store_accel(cache_file, threaded, cache_key)
 
     arr = lambda key, dt=np.float32: np.asarray([m[key] for m in mat_rows], dt)
     M = len(mat_rows)
@@ -415,10 +456,32 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
     attr_rec[:, 20] = attrs["inst_id"].astype(np.int32).view(np.float32)
     attr_rec[:, 21] = attrs["local_id"].astype(np.int32).view(np.float32)
 
+    # Combined shade record: triangle attributes JOINED with the material
+    # row and per-face emitter data, so a hit needs exactly ONE gather
+    # (each dynamic gather costs a flat ~3.3 ms per 1M rays on this TPU).
+    # Layout documented at scene/types.py TriAttrs.shade_rec.
+    mid = attrs["mat_id"]
+    lid = attrs["light_id"]
+    tri_area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    shade_rec = np.zeros((F, 48), np.float32)
+    shade_rec[:, 0:22] = attr_rec[:, 0:22]
+    shade_rec[:, 22] = arr("kind", np.int32)[mid].view(np.float32)
+    shade_rec[:, 23:26] = arr("kd")[mid]
+    shade_rec[:, 26:29] = arr("ks")[mid]
+    shade_rec[:, 29:32] = arr("tf")[mid]
+    shade_rec[:, 32] = arr("ns")[mid]
+    shade_rec[:, 33] = arr("ior")[mid]
+    shade_rec[:, 34:37] = arr("emit")[mid]
+    shade_rec[:, 37] = np.where(lid >= 0, tri_area, 0.0).astype(np.float32)
+    shade_rec[:, 38] = arr("kd_tex", np.int32)[mid].view(np.float32)
+    shade_rec[:, 39] = arr("bump_tex", np.int32)[mid].view(np.float32)
+    shade_rec[:, 40] = arr("mask_tex", np.int32)[mid].view(np.float32)
+
     scene = DeviceScene(
         bvh=DeviceBvh.from_threaded(threaded),
         attrs=TriAttrs(
             rec=jnp.asarray(attr_rec),
+            shade_rec=jnp.asarray(shade_rec),
             n0=jnp.asarray(attrs["n0"]), n1=jnp.asarray(attrs["n1"]),
             n2=jnp.asarray(attrs["n2"]), uv0=jnp.asarray(attrs["uv0"]),
             uv1=jnp.asarray(attrs["uv1"]), uv2=jnp.asarray(attrs["uv2"]),

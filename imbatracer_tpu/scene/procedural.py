@@ -109,6 +109,72 @@ def make_cornell_scene(with_boxes: bool = True, mirror_box: bool = False,
     return scene, meta
 
 
+def make_big_scene(num_boxes: int = 4000, seed: int = 0):
+    """A large procedural scene (~50k triangles at the default) for
+    big-BVH traversal testing and perf work: a field of rotated boxes in
+    an enclosure with one area light.  Stands in for sponza-scale scenes
+    (the reference checkout ships no large OBJ assets)."""
+    rs = np.random.RandomState(seed)
+    tris = []
+    white, red, green, lightm = 0, 1, 2, 3
+    S = 40.0
+
+    def add(quads, mat):
+        for t in quads:
+            tris.append((*t, mat))
+
+    add(_quad((-S, 0, S), (S, 0, S), (S, 0, -S), (-S, 0, -S)), white)  # floor
+    add(_quad((-8, 39.9, -8), (8, 39.9, -8), (8, 39.9, 8), (-8, 39.9, 8)), lightm)
+
+    for _ in range(num_boxes):
+        c = (rs.uniform(-S, S), rs.uniform(0.2, 12.0), rs.uniform(-S, S))
+        sz = tuple(rs.uniform(0.2, 1.5, 3))
+        _add_box(tris, center=c, size=sz, angle_deg=rs.uniform(0, 360),
+                 mat=int(rs.choice([white, red, green])))
+
+    v0 = np.asarray([t[0] for t in tris], np.float32)
+    v1 = np.asarray([t[1] for t in tris], np.float32)
+    v2 = np.asarray([t[2] for t in tris], np.float32)
+    mat_id = np.asarray([t[3] for t in tris], np.int32)
+    n = np.cross(v1 - v0, v2 - v0)
+    gn = (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)).astype(np.float32)
+
+    F = len(tris)
+    zeros2 = np.zeros((F, 2), np.float32)
+    attrs = dict(
+        n0=gn, n1=gn, n2=gn, uv0=zeros2, uv1=zeros2, uv2=zeros2,
+        mat_id=mat_id, light_id=np.full(F, -1, np.int32),
+        inst_id=np.zeros(F, np.int32), local_id=np.arange(F, dtype=np.int32),
+    )
+    emit_intensity = (600.0, 560.0, 500.0)
+    base = dict(ks=(0, 0, 0), tf=(0, 0, 0), ns=1.0, ior=1.0,
+                emit=(0, 0, 0), kd_tex=-1, bump_tex=-1, mask_tex=-1)
+    mat_rows = [
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.7, 0.7, 0.7)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.6, 0.1, 0.05)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.1, 0.5, 0.1)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.8, 0.8, 0.8), emit=emit_intensity),
+    ]
+    light_rows = []
+    for ti in np.nonzero(mat_id == lightm)[0]:
+        nn = np.cross(v1[ti] - v0[ti], v2[ti] - v0[ti])
+        area = 0.5 * np.linalg.norm(nn)
+        attrs["light_id"][ti] = len(light_rows)
+        light_rows.append(
+            dict(kind=light_mod.LIGHT_TRI, p0=v0[ti], p1=v1[ti], p2=v2[ti],
+                 normal=nn / (2 * area), intensity=emit_intensity, area=area)
+        )
+    scene = assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, [], None)
+    meta = SceneMeta(
+        name=f"procedural_big_{num_boxes}",
+        num_tris=F, num_materials=len(mat_rows), num_lights=len(light_rows),
+        num_textures=0, has_env=False, has_masks=False,
+        cam_pos=(0.0, 14.0, 55.0), cam_dir=(0.0, -0.2, -1.0),
+        cam_up=(0.0, 1.0, 0.0), bvh_stats=scene.bvh_stats,
+    )
+    return scene, meta
+
+
 def _add_box(tris, center, size, angle_deg, mat):
     cx, cy, cz = center
     sx, sy, sz = size[0] / 2, size[1] / 2, size[2] / 2

@@ -37,6 +37,12 @@ class TriAttrs:
     """
 
     rec: jnp.ndarray      # (F, 24) f32 wide record (layout above)
+    # shade_rec: rec[0:22] joined with the triangle's material row and
+    # emitter data so one gather serves the whole shading step:
+    #   [.. rec cols 0..21 .., kind(22), kd(23:26), ks(26:29), tf(29:32),
+    #    ns(32), ior(33), emit(34:37), area(37), kd_tex(38), bump_tex(39),
+    #    mask_tex(40), pad..48]  (integer cols are i32 bit patterns)
+    shade_rec: jnp.ndarray  # (F, 48) f32 combined record
     n0: jnp.ndarray       # (F, 3) shading normal at vert 0
     n1: jnp.ndarray       # (F, 3)
     n2: jnp.ndarray       # (F, 3)

@@ -33,18 +33,15 @@ def main():
     seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 60.0
     size = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
 
+    algo = sys.argv[5] if len(sys.argv) > 5 else "pt"
     print("devices:", jax.devices())
     ds, meta = build_scene(scene_path)
-    settings = RenderSettings(width=size, height=size, max_time_sec=seconds, spp=1)
-    cam = camera_for_scene(meta, settings)
+    settings = RenderSettings(
+        width=size, height=size, max_time_sec=seconds, spp=1, algorithm=algo
+    )
+    from imbatracer_tpu.frontend.engine import make_frame_fn
 
-    def frame_fn(frame):
-        return render_pt_frame(
-            ds, cam, frame, settings.width, settings.height,
-            spp=settings.spp, max_len=settings.max_path_len,
-            has_masks=meta.has_masks, has_bump=False,
-        )
-
+    frame_fn, cam = make_frame_fn(ds, meta, settings)
     r = ProgressiveRenderer(frame_fn, settings)
     t0 = time.time()
     r.step()

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark + regression driver.
+
+Port of the reference harness semantics (reference: test/run_bench.py):
+runs renders headless with a time budget, parses the perf line
+(`Done after X seconds, N samples @ F frames per second, M ms per frame`,
+run_bench.py:207 / render_window.cpp:84-88), computes RMSE against the
+golden reference images (ImageMagick-compatible 8-bit RMSE,
+run_bench.py:113-129) and writes a CSV:
+  name, algorithm, time, samples, fps, ms/frame, RMSE, PSNR, rays/sec
+
+Runs in-process (no subprocess) so it works identically on CPU and TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCENES = "/root/reference/test/scenes"
+REFS = "/root/reference/test/references"
+
+# (name, scene file, golden image, algorithm, width, height, extra settings)
+# NOTE: the reference checkout ships OBJ assets only for the cornell family
+# (sponza_scaled.obj / still_life.obj are download-on-demand and absent), so
+# the runnable golden set is cornell; large-scene perf uses the procedural
+# generator (scene/procedural.py::make_big_scene).
+DEFAULT_RUNS = [
+    ("cornell_pt", f"{SCENES}/cornell/cornell_org.scene",
+     f"{REFS}/ref_cornell_org.png", "pt", 1024, 1024, {}),
+    ("cornell_bpt", f"{SCENES}/cornell/cornell_indirect.scene",
+     f"{REFS}/ref_cornell_indirect.png", "bpt", 1024, 1024, {}),
+    ("cornell_vcm", f"{SCENES}/cornell/cornell_specular.scene",
+     f"{REFS}/ref_cornell_specular.png", "vcm", 1024, 1024,
+     {"radius_factor": 0.003}),
+    ("cornell_vcm_front", f"{SCENES}/cornell/cornell_specular_front.scene",
+     f"{REFS}/ref_cornell_specular_front.png", "vcm", 1024, 1024,
+     {"radius_factor": 0.003}),
+    ("cornell_water_vcm", f"{SCENES}/cornell/cornell_water.scene",
+     f"{REFS}/ref_cornell_water.png", "vcm", 1024, 1024,
+     {"radius_factor": 0.003}),
+    ("cornell_instances_pt", f"{SCENES}/cornell/cornell_instances.scene",
+     "", "pt", 1024, 1024, {}),
+]
+
+
+def run_one(name, scene_path, golden, algo, width, height, extra, seconds):
+    import jax
+    import numpy as np
+
+    from imbatracer_tpu.frontend.engine import make_frame_fn
+    from imbatracer_tpu.frontend.renderer import ProgressiveRenderer, RenderSettings
+    from imbatracer_tpu.scene.build import build_scene
+    from imbatracer_tpu.utils.metrics import load_reference_png, psnr, rmse
+
+    scene, meta = build_scene(scene_path)
+    settings = RenderSettings(
+        width=width, height=height, algorithm=algo, max_time_sec=seconds,
+        **extra,
+    )
+    frame_fn, _ = make_frame_fn(scene, meta, settings)
+    r = ProgressiveRenderer(frame_fn, settings)
+    # Compile outside the timed budget, like the reference excludes startup.
+    r.step()
+    jax.block_until_ready(r.accum)
+    r.reset()
+    t0 = time.time()
+    r.run(quiet=True)
+    elapsed = time.time() - t0
+    img = r.image()
+
+    row = {
+        "name": name,
+        "algorithm": algo,
+        "time": round(elapsed, 2),
+        "samples": r.frames * settings.spp,
+        "fps": round(r.frames / elapsed, 3),
+        "ms_per_frame": round(1000 * elapsed / max(r.frames, 1), 2),
+        "rmse": "",
+        "psnr": "",
+    }
+    if golden and os.path.exists(golden):
+        ref = load_reference_png(golden)
+        if ref.shape[:2] == img.shape[:2]:
+            row["rmse"] = round(rmse(img, ref), 5)
+            row["psnr"] = round(psnr(img, ref), 2)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-t", "--time", type=float, default=30.0,
+                    help="render budget per run (reference default 30 s)")
+    ap.add_argument("-o", "--out", default="results/bench.csv")
+    ap.add_argument("--only", default="", help="substring filter on run names")
+    args = ap.parse_args()
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    rows = []
+    for run in DEFAULT_RUNS:
+        if args.only and args.only not in run[0]:
+            continue
+        if not os.path.exists(run[1]):
+            print(f"skip {run[0]}: scene missing")
+            continue
+        print(f"== {run[0]} ({run[3]}, {args.time}s) ==")
+        row = run_one(*run, seconds=args.time)
+        print(row)
+        rows.append(row)
+
+    if rows:
+        with open(args.out, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
