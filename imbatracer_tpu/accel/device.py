@@ -20,6 +20,7 @@ from .flatten import ThreadedBvh
 
 @flax.struct.dataclass
 class DeviceBvh:
+    nodes64: jnp.ndarray     # (N, 64) f32 fused node+leaf record
     nodes16: jnp.ndarray     # (N, 16) f32 wide node record
     leaf48: jnp.ndarray      # (L, 48) f32 wide leaf record
     node_min: jnp.ndarray    # (N, 3) f32
@@ -35,6 +36,7 @@ class DeviceBvh:
     @staticmethod
     def from_threaded(t: ThreadedBvh) -> "DeviceBvh":
         return DeviceBvh(
+            nodes64=jnp.asarray(t.nodes64),
             nodes16=jnp.asarray(t.nodes16),
             leaf48=jnp.asarray(t.leaf48),
             node_min=jnp.asarray(t.node_min),

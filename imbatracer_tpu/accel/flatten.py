@@ -52,6 +52,7 @@ class ThreadedBvh:
                     pad, pad]                   (L, 48)
     """
 
+    nodes64: np.ndarray       # (N, 64) f32 fused node+leaf record
     nodes16: np.ndarray       # (N, 16) f32 wide record (see above)
     leaf48: np.ndarray        # (L, 48) f32 wide record
     node_min: np.ndarray      # (N, 3) f32
@@ -81,13 +82,27 @@ def pack_records(node_min, node_max, hit_link, miss_link, leaf_start,
     num_leaves = tri_v0.shape[0] // LEAF_WIDTH
     leaf48 = np.zeros((max(num_leaves, 1), LEAF_WIDTH * 12), np.float32)
     for j in range(LEAF_WIDTH):
-        rows = slice(None)
         base = j * 12
         leaf48[:num_leaves, base + 0 : base + 3] = tri_v0[j::LEAF_WIDTH]
         leaf48[:num_leaves, base + 3 : base + 6] = tri_e1[j::LEAF_WIDTH]
         leaf48[:num_leaves, base + 6 : base + 9] = tri_e2[j::LEAF_WIDTH]
         leaf48[:num_leaves, base + 9] = tri_id[j::LEAF_WIDTH].astype(np.int32).view(np.float32)
     return nodes16, leaf48
+
+
+def pack_nodes64(nodes16, leaf48):
+    """Fuse node + leaf records: one (N, 64) row per node with the leaf's
+    4-triangle packet embedded (zeros for inner nodes).  Cuts the traversal
+    loop to a single gather per step — the dominant cost on this TPU.
+    Layout: [min(0:3), max(3:6), hit(6), miss(7), leaf_id(8), pad,
+             tris(12:60) = 4 x (v0, e1, e2, id, pad2), pad(60:64)]."""
+    n = nodes16.shape[0]
+    nodes64 = np.zeros((n, 64), np.float32)
+    nodes64[:, 0:16] = nodes16
+    leaf_id = nodes16[:, 8].view(np.int32)
+    is_leaf = leaf_id >= 0
+    nodes64[is_leaf, 12:60] = leaf48[leaf_id[is_leaf]]
+    return nodes64
 
 
 def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> ThreadedBvh:
@@ -142,7 +157,9 @@ def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) 
         nodes.bbox_min, nodes.bbox_max, hit_link, miss_link, leaf_start,
         pv0, pv1 - pv0, pv2 - pv0, packets.astype(np.int32),
     )
+    nodes64 = pack_nodes64(nodes16, leaf48)
     return ThreadedBvh(
+        nodes64=nodes64,
         nodes16=nodes16,
         leaf48=leaf48,
         node_min=nodes.bbox_min,

@@ -19,7 +19,7 @@ import numpy as np
 from ..accel.flatten import ThreadedBvh
 from ..utils.log import logger
 
-CACHE_VERSION = 3  # bump when builder output layout changes
+CACHE_VERSION = 4  # bump when builder output layout changes
 
 
 def fingerprint(paths: list[str], extra: str = "") -> str:
@@ -42,6 +42,7 @@ def store_accel(path: str, bvh: ThreadedBvh, key: str) -> None:
     np.savez_compressed(
         path,
         key=np.frombuffer(key.encode(), np.uint8),
+        nodes64=bvh.nodes64,
         nodes16=bvh.nodes16,
         leaf48=bvh.leaf48,
         node_min=bvh.node_min,
@@ -72,6 +73,7 @@ def load_accel(path: str, key: str) -> ThreadedBvh | None:
             logger.info("BVH cache stale (%s)", path)
             return None
         return ThreadedBvh(
+            nodes64=z["nodes64"],
             nodes16=z["nodes16"],
             leaf48=z["leaf48"],
             node_min=z["node_min"],

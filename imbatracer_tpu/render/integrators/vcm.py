@@ -54,6 +54,14 @@ from .pt import alpha_fn_for, camera_rays
 
 ALGOS = ("vcm", "bpt", "ppm", "lt", "pt")
 
+# Sampling-technique tags for the MIS debugger (the reference's
+# MISDebugger writes per-technique contribution images, render/debug/
+# mis_debug.h:11-56; here each tag statically gates one contribution site
+# while RNG streams stay identical, so isolated renders sum exactly to the
+# full render -- a machine-checkable version of the reference's
+# weights-sum-to-one inspection).
+TECHNIQUES = ("light_hit", "next_event", "connect", "merge", "cam_connect")
+
 mis_pow = lambda x: x  # power-1 heuristic (vcm.h:112-116)
 
 
@@ -86,7 +94,8 @@ def _gather_vertex_params(scene, cache: LightVertexCache, idx):
 
 def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
                 mis_eta_vm, *, algo, num_pixels, light_path_count, max_len,
-                cache_capacity, has_masks, has_bump, alpha_fn, max_steps=0):
+                cache_capacity, has_masks, has_bump, alpha_fn, max_steps=0,
+                techniques=TECHNIQUES):
     num_lights = scene.lights.kind.shape[0]
     L = light_path_count
     pdf_lightpick = 1.0 / num_lights
@@ -156,7 +165,7 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
             )
 
         # Connect every non-specular vertex to the camera (vcm.cpp:260-320).
-        if algo != "ppm":
+        if algo != "ppm" and "cam_connect" in techniques:
             film = film + _connect_to_camera(
                 scene, cam, isect, c["throughput"], d_vc, d_vcm,
                 active & non_spec, mis_eta_vm, L, num_pixels, algo, alpha_fn,
@@ -283,7 +292,8 @@ def _bounce(scene, isect, throughput, d_vc, d_vcm, d_vm, active, state, hit,
 def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                  mis_eta_vc, mis_eta_vm, *, algo, width, height, spp, max_len,
                  light_path_count, num_connections, num_knn, table_size,
-                 max_per_cell, has_masks, has_bump, alpha_fn, max_steps=0):
+                 max_per_cell, has_masks, has_bump, alpha_fn, max_steps=0,
+                 techniques=TECHNIQUES):
     num_pixels = width * height
     num_lights = scene.lights.kind.shape[0]
     org, d, state, pixel_id = camera_rays(cam, width, height, spp, frame)
@@ -313,7 +323,7 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
 
         # --- env misses (vcm.cpp:338-365; skipped for the PT variant) ---
         miss = c["active"] & (hit.prim_id < 0)
-        if scene.env is not None and algo != "pt":
+        if scene.env is not None and algo != "pt" and "light_hit" in techniques:
             li, pdf_direct_w, pdf_emit_w = envmap_mod.radiance(
                 scene.env, normalize(c["d"]), scene.bsphere.inv_radius_sqr
             )
@@ -359,9 +369,10 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
             w_emit = jnp.ones_like(w_cam)
         else:
             w_emit = jnp.where(i == 0, 1.0, 1.0 / (w_cam + 1.0))
-        radiance = radiance + jnp.where(
-            is_emitter[..., None], c["throughput"] * li * w_emit[..., None], 0.0
-        )
+        if "light_hit" in techniques:
+            radiance = radiance + jnp.where(
+                is_emitter[..., None], c["throughput"] * li * w_emit[..., None], 0.0
+            )
         active = active & ~is_emitter
 
         st = c["state"]
@@ -372,6 +383,7 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
             st, radiance = _direct_illum(
                 scene, isect, c["throughput"], d_vc, d_vcm, active, st,
                 radiance, mis_eta_vm, num_lights, algo, alpha_fn, max_steps,
+                enabled="next_event" in techniques,
             )
 
         # --- vertex connections (vcm.cpp:429-431, 488-569) --------------
@@ -383,10 +395,11 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                     light_path_count, num_connections, max_len,
                     cam_path_length=i + 1, base_radius=base_radius,
                     alpha_fn=alpha_fn, max_steps=max_steps,
+                    enabled="connect" in techniques,
                 )
 
         # --- vertex merging (vcm.cpp:433-436, 571-611) ------------------
-        if algo in ("vcm", "ppm"):
+        if algo in ("vcm", "ppm") and "merge" in techniques:
             radiance = _vertex_merging(
                 scene, cache, grid, isect, c["throughput"], d_vcm, d_vm,
                 active & non_spec, radiance, mis_eta_vc, pm_radius,
@@ -409,7 +422,8 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
 
 
 def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
-                  radiance, mis_eta_vm, num_lights, algo, alpha_fn, max_steps=0):
+                  radiance, mis_eta_vm, num_lights, algo, alpha_fn, max_steps=0,
+                  enabled=True):
     state, (ul, ua, ub) = rng_mod.next_floats(state, 3)
     light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
     ds = light_mod.sample_direct(
@@ -433,14 +447,15 @@ def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
     offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
     occluded = any_hit(scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
                        alpha_fn=alpha_fn, active=ok, max_steps=max_steps)
-    radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
+    if enabled:
+        radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
     return state, radiance
 
 
 def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
              active, state, radiance, mis_eta_vm, light_path_count,
              num_connections, max_len, *, cam_path_length, base_radius, alpha_fn,
-             max_steps=0):
+             max_steps=0, enabled=True):
     """One vertex connection per ray (vcm.cpp:488-569)."""
     state, (uc,) = rng_mod.next_floats(state, 1)
     count = cache.count
@@ -495,7 +510,8 @@ def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
     offset = 1e-3 * dist
     occluded = any_hit(scene.bvh, isect.pos, cdir, offset, dist - offset,
                        alpha_fn=alpha_fn, active=ok, max_steps=max_steps)
-    radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
+    if enabled:
+        radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
     return state, radiance
 
 
@@ -542,7 +558,7 @@ def _vertex_merging(scene, cache: LightVertexCache, grid, isect, throughput,
 @partial(jax.jit, static_argnames=(
     "algo", "width", "height", "spp", "max_len", "light_path_count",
     "num_connections", "num_knn", "cache_capacity", "table_size",
-    "max_per_cell", "has_masks", "has_bump", "max_steps",
+    "max_per_cell", "has_masks", "has_bump", "max_steps", "techniques",
 ))
 def render_vcm_frame(
     scene,
@@ -564,6 +580,7 @@ def render_vcm_frame(
     has_masks: bool = False,
     has_bump: bool = False,
     max_steps: int = 0,
+    techniques: tuple = TECHNIQUES,
 ):
     """One progressive VCM-family frame; returns the un-normalised film.
 
@@ -602,6 +619,7 @@ def render_vcm_frame(
             light_path_count=light_path_count, max_len=max_len,
             cache_capacity=cache_capacity, has_masks=has_masks,
             has_bump=has_bump, alpha_fn=alpha_fn, max_steps=max_steps,
+            techniques=techniques,
         )
         film = film + light_film
         if algo in ("vcm", "ppm"):
@@ -616,7 +634,7 @@ def render_vcm_frame(
             num_connections=num_connections, num_knn=num_knn,
             table_size=table_size, max_per_cell=max_per_cell,
             has_masks=has_masks, has_bump=has_bump, alpha_fn=alpha_fn,
-            max_steps=max_steps,
+            max_steps=max_steps, techniques=techniques,
         )
 
     return film

@@ -118,9 +118,9 @@ def _prep(org, d, tmin, tmax, active):
 
 
 def _node_fetch(bvh, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
-    """One wide gather + slab test. Returns (box_hit, hit_link, miss_link,
-    leaf_id)."""
-    rec = bvh.nodes16[node]
+    """THE one gather per step (fused node+leaf record) + slab test.
+    Returns (rec, box_hit, hit_link, miss_link, leaf_flag)."""
+    rec = bvh.nodes64[node]
     tx0 = (rec[:, 0] - ox) * ix
     tx1 = (rec[:, 3] - ox) * ix
     ty0 = (rec[:, 1] - oy) * iy
@@ -137,6 +137,7 @@ def _node_fetch(bvh, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
     )
     box_hit = (t_near <= t_far) & (t_far >= tmin) & (t_near <= t_limit) & active
     return (
+        rec,
         box_hit,
         _bits_to_i32(rec[:, 6]),
         _bits_to_i32(rec[:, 7]),
@@ -252,11 +253,11 @@ def closest_hit(
         node_raw, best_t, best_id, best_u, best_v = state
         act = node_raw >= 0
         node = jnp.maximum(node_raw, 0)
-        box_hit, hit_link, miss_link, leaf_id = _node_fetch(
+        rec, box_hit, hit_link, miss_link, leaf_id = _node_fetch(
             bvh, node, ox, oy, oz, ix, iy, iz, tmin, best_t, act
         )
         do_leaf = box_hit & (leaf_id >= 0)
-        leaf = bvh.leaf48[jnp.where(do_leaf, leaf_id, 0)]
+        leaf = rec[:, 12:60]  # embedded 4-triangle packet, no second gather
         for j in range(LEAF_WIDTH):
             t, u, v, tid, ok = _mt_packet(
                 leaf, j, ox, oy, oz, dx, dy, dz, tmin, best_t, alpha_fn
@@ -305,11 +306,11 @@ def any_hit(
         node_raw, occluded = state
         act = node_raw >= 0
         node = jnp.maximum(node_raw, 0)
-        box_hit, hit_link, miss_link, leaf_id = _node_fetch(
+        rec, box_hit, hit_link, miss_link, leaf_id = _node_fetch(
             bvh, node, ox, oy, oz, ix, iy, iz, tmin, tmax, act
         )
         do_leaf = box_hit & (leaf_id >= 0)
-        leaf = bvh.leaf48[jnp.where(do_leaf, leaf_id, 0)]
+        leaf = rec[:, 12:60]
         found = jnp.zeros_like(act)
         for j in range(LEAF_WIDTH):
             _, _, _, _, ok = _mt_packet(
