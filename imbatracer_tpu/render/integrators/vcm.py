@@ -285,6 +285,26 @@ def _bounce(scene, isect, throughput, d_vc, d_vcm, d_vm, active, state, hit,
             state)
 
 
+def debug_light_pass(scene, cam: Camera, frame, base_radius, *,
+                     light_path_count=1024, max_len=10, algo="vcm",
+                     has_masks=False):
+    """PathDebugger analogue (reference: render/debug/path_debug.h,
+    LIGHT_PATH_DEBUG): runs one light pass and returns the vertex cache
+    (positions, outgoing dirs, throughputs, partial MIS weights, path
+    lengths) for offline inspection; see tools/dump_light_paths.py."""
+    pm_radius = jnp.maximum(jnp.asarray(base_radius, jnp.float32), 1e-7)
+    eta_vcm = PI * pm_radius * pm_radius * light_path_count
+    _, cache = _light_pass(
+        scene, cam, jnp.uint32(frame), pm_radius, pm_radius,
+        mis_pow(1.0 / eta_vcm), mis_pow(eta_vcm), algo=algo,
+        num_pixels=cam.width * cam.height, light_path_count=light_path_count,
+        max_len=max_len, cache_capacity=light_path_count * max_len,
+        has_masks=has_masks, has_bump=False,
+        alpha_fn=alpha_fn_for(scene) if has_masks else None,
+    )
+    return cache
+
+
 # ======================================================================
 #  Camera pass
 # ======================================================================
