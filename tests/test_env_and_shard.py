@@ -1,0 +1,85 @@
+"""Environment-map lighting and multi-chip sharding tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imbatracer_tpu.render import envmap as envmap_mod
+from imbatracer_tpu.scene.procedural import make_cornell_scene
+
+
+def _env_test_image(h=16, w=32):
+    """A lat-long HDR with a bright localized 'sun' patch."""
+    img = np.full((h, w, 3), 0.05, np.float32)
+    img[3:5, 6:9] = (40.0, 30.0, 20.0)
+    return img
+
+
+def test_env_importance_sampling_consistency():
+    """sample_dir's pdf must integrate to 1 over the sphere and prefer the
+    bright patch (the importance sampling the reference left TODO)."""
+    env = envmap_mod.build_envmap(_env_test_image(), (1.0, 1.0, 1.0))
+    n = 200_000
+    rs = np.random.RandomState(0)
+    u1 = jnp.asarray(rs.rand(n), jnp.float32)
+    u2 = jnp.asarray(rs.rand(n), jnp.float32)
+    d, li, pdf = envmap_mod.sample_dir(env, u1, u2)
+    pdf = np.asarray(pdf)
+    assert (pdf > 0).all()
+    # MC integral of 1/pdf over sampled dirs = sphere solid angle (4 pi).
+    integral = float(np.mean(1.0 / pdf))
+    assert abs(integral - 4 * np.pi) < 0.25, integral
+    # Bright patch should receive far more samples than its ~1% solid
+    # angle.  (The pdf table is 2x2-neighbourhood averaged like the
+    # reference's, light.h:380-389, so ~half the patch-directed samples
+    # land on adjacent dark texels at nearest lookup — expected.)
+    bright_frac = float(np.mean(np.asarray(li)[:, 0] > 1.0))
+    assert bright_frac > 0.35, bright_frac
+
+    # radiance() must report the same pdf used by sample_dir (MIS duals).
+    # A handful of samples land exactly on cell boundaries where the
+    # direction->(s,t) roundtrip picks the neighbouring cell; allow those.
+    li2, pdf_direct, _ = envmap_mod.radiance(env, d, jnp.float32(1.0))
+    rel = np.abs(np.asarray(pdf_direct) - pdf) / np.maximum(pdf, 1e-20)
+    assert float(np.mean(rel < 2e-2)) > 0.999, float(np.mean(rel < 2e-2))
+
+
+def test_env_estimator_unbiased():
+    """E[li/pdf] over importance samples == the true env integral."""
+    img = _env_test_image()
+    env = envmap_mod.build_envmap(img, (1.0, 1.0, 1.0))
+    n = 400_000
+    rs = np.random.RandomState(1)
+    u1 = jnp.asarray(rs.rand(n), jnp.float32)
+    u2 = jnp.asarray(rs.rand(n), jnp.float32)
+    d, li, pdf = envmap_mod.sample_dir(env, u1, u2)
+    estimate = float(jnp.mean(li[:, 0] / pdf))
+    # Ground truth: uniform-sphere MC through the same radiance() lookup
+    # (shares the reference's s*(w-1) nearest-texel convention).
+    from imbatracer_tpu.core import rng as rng_mod
+    from imbatracer_tpu.core.sampling import sample_uniform_sphere
+
+    st = rng_mod.seed(jnp.arange(n), 7)
+    st, (a, b) = rng_mod.next_floats(st, 2)
+    du, updf = sample_uniform_sphere(a, b)
+    li_u, _, _ = envmap_mod.radiance(env, du, jnp.float32(1.0))
+    true = float(jnp.mean(li_u[:, 0] / updf))
+    assert abs(estimate - true) / true < 0.05, (estimate, true)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_pt_matches_single_device():
+    from imbatracer_tpu.parallel.shard import make_mesh, render_pt_frame_sharded
+    from imbatracer_tpu.render.camera import make_camera
+    from imbatracer_tpu.render.integrators.pt import render_pt_frame
+
+    scene, meta = make_cornell_scene()
+    size = 32
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size, 60.0)
+    mesh = make_mesh(jax.devices()[:8])
+
+    a = np.asarray(render_pt_frame(scene, cam, jnp.uint32(0), size, size, max_len=4))
+    b = np.asarray(render_pt_frame_sharded(
+        scene, cam, jnp.uint32(0), size, size, mesh, max_len=4))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
