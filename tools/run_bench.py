@@ -108,17 +108,24 @@ def main():
         if not os.path.exists(run[1]):
             print(f"skip {run[0]}: scene missing")
             continue
-        print(f"== {run[0]} ({run[3]}, {args.time}s) ==")
-        row = run_one(*run, seconds=args.time)
-        print(row)
+        print(f"== {run[0]} ({run[3]}, {args.time}s) ==", flush=True)
+        try:
+            row = run_one(*run, seconds=args.time)
+        except Exception as e:  # device faults etc.: record and continue
+            print(f"FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            row = {"name": run[0], "algorithm": run[3], "time": "",
+                   "samples": "", "fps": "", "ms_per_frame": "",
+                   "rmse": "", "psnr": "", "error": type(e).__name__}
+        print(row, flush=True)
         rows.append(row)
-
-    if rows:
+        # Write incrementally so a later crash loses nothing.
+        keys = ["name", "algorithm", "time", "samples", "fps",
+                "ms_per_frame", "rmse", "psnr", "error"]
         with open(args.out, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
             w.writeheader()
             w.writerows(rows)
-        print(f"wrote {args.out}")
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
