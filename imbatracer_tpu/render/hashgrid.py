@@ -6,8 +6,15 @@ answers queries with per-photon insertion sort
 fully data-parallel: photons are sorted by hashed cell id, per-cell ranges
 come from one `searchsorted`, and a query examines the same 8 neighbour
 cells (2x2x2 block chosen by the fractional cell coordinate,
-rangesearch.h:90-97) through fixed-size windows + `top_k` — no atomics, no
-data-dependent loops.
+rangesearch.h:90-97) through fixed-size windows.
+
+TPU-specific structure:
+- photons are stored as (P, 8) wide records [x y z idx_bits ...] so each
+  candidate batch is ONE wide-row gather (narrow (N,3) gathers are slow);
+- the best-k set is merged cell-by-cell with a small (R, k+W) lax.sort
+  instead of concatenating all 8 windows (a (R, 128)-candidate
+  materialisation at 1M rays was enough to take down the device at
+  1080p-scale VCM).
 
 Hash collisions only add candidates that the radius filter rejects, as in
 the reference (same 73856093/19349663/83492791 hash, rangesearch.h:137-140).
@@ -24,8 +31,7 @@ import jax.numpy as jnp
 
 @flax.struct.dataclass
 class HashGrid:
-    sorted_pos: jnp.ndarray   # (P, 3) photon positions in cell order
-    sorted_idx: jnp.ndarray   # (P,) original photon indices
+    sorted_rec: jnp.ndarray   # (P, 8) [x y z idx_bits 0 0 0 0] in cell order
     cell_start: jnp.ndarray   # (C + 1,) range boundaries per cell id
     bbox_min: jnp.ndarray     # (3,)
     inv_cell: jnp.ndarray     # ()
@@ -46,10 +52,8 @@ def build_hash_grid(pos, valid, radius, table_size: int) -> HashGrid:
     """pos: (P, 3); valid: (P,) bool; radius: scalar.  Invalid photons are
     routed to the out-of-range cell `table_size` and never matched."""
     big = jnp.float32(1e30)
-    vpos = jnp.where(valid[:, None], pos, big)
     bbox_min = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
     bbox_max = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
-    # Guard the empty-grid case so arithmetic stays finite.
     any_valid = jnp.any(valid)
     bbox_min = jnp.where(any_valid, bbox_min, 0.0)
     bbox_max = jnp.where(any_valid, bbox_max, 1.0)
@@ -67,9 +71,17 @@ def build_hash_grid(pos, valid, radius, table_size: int) -> HashGrid:
         h_sorted, jnp.arange(table_size + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
+    pos_sorted = jnp.where(valid[order][:, None], pos[order], big)
+    rec = jnp.concatenate(
+        [
+            pos_sorted,
+            jax.lax.bitcast_convert_type(order.astype(jnp.int32), jnp.float32)[:, None],
+            jnp.zeros((pos.shape[0], 4), jnp.float32),
+        ],
+        axis=1,
+    )
     return HashGrid(
-        sorted_pos=jnp.where(valid[order][:, None], pos[order], big),
-        sorted_idx=order.astype(jnp.int32),
+        sorted_rec=rec,
         cell_start=cell_start,
         bbox_min=bbox_min,
         inv_cell=inv_cell,
@@ -83,18 +95,19 @@ def query_knn(grid: HashGrid, qpos, k: int, max_per_cell: int, table_size: int):
 
     qpos: (R, 3).  Returns (idx (R, k) into the original photon arrays or
     -1, dist_sqr (R, k), count (R,)).  Each of the 8 neighbour cells
-    contributes at most `max_per_cell` candidates (overflow is dropped —
-    the cap substitutes for the reference's unbounded per-cell walk).
-    """
+    contributes at most `max_per_cell` candidates (the cap substitutes for
+    the reference's unbounded per-cell walk)."""
     cellf = (qpos - grid.bbox_min) * grid.inv_cell
     coord = jnp.floor(cellf)
     fract = cellf - coord
     base = coord.astype(jnp.int32)
     off = jnp.where(fract < 0.5, -1, 1)
 
-    cand_idx = []
-    cand_d2 = []
+    num_r = qpos.shape[0]
+    best_d2 = jnp.full((num_r, k), jnp.float32(1e30))
+    best_idx = jnp.full((num_r, k), -1, jnp.int32)
     ar = jnp.arange(max_per_cell, dtype=jnp.int32)
+
     for j in range(8):
         cx = base[:, 0] + (off[:, 0] if j & 4 else 0)
         cy = base[:, 1] + (off[:, 1] if j & 2 else 0)
@@ -102,22 +115,24 @@ def query_knn(grid: HashGrid, qpos, k: int, max_per_cell: int, table_size: int):
         h = _cell_hash(cx, cy, cz, table_size)
         start = grid.cell_start[h]
         end = grid.cell_start[h + 1]
-        idx = start[:, None] + ar[None, :]
-        in_range = idx < end[:, None]
-        idx = jnp.where(in_range, idx, 0)
-        p = grid.sorted_pos[idx]
-        d2 = jnp.sum((p - qpos[:, None, :]) ** 2, axis=-1)
+        idx2d = start[:, None] + ar[None, :]
+        in_range = idx2d < end[:, None]
+        rec = grid.sorted_rec[jnp.where(in_range, idx2d, 0)]       # (R, W, 8)
+        d2 = jnp.sum((rec[..., 0:3] - qpos[:, None, :]) ** 2, axis=-1)
         d2 = jnp.where(in_range & (d2 <= grid.radius_sqr), d2, jnp.float32(1e30))
-        cand_idx.append(jnp.where(in_range, grid.sorted_idx[idx], -1))
-        cand_d2.append(d2)
+        cand = jnp.where(
+            in_range,
+            jax.lax.bitcast_convert_type(rec[..., 3], jnp.int32),
+            -1,
+        )
+        # Merge into the running best-k: small sort over (R, k + W).
+        all_d2 = jnp.concatenate([best_d2, d2], axis=1)
+        all_idx = jnp.concatenate([best_idx, cand], axis=1)
+        sd2, sidx = jax.lax.sort((all_d2, all_idx), num_keys=1, dimension=1)
+        best_d2 = sd2[:, :k]
+        best_idx = sidx[:, :k]
 
-    all_idx = jnp.concatenate(cand_idx, axis=1)
-    all_d2 = jnp.concatenate(cand_d2, axis=1)
-
-    neg_top, pos_in_cand = jax.lax.top_k(-all_d2, k)
-    top_d2 = -neg_top
-    top_idx = jnp.take_along_axis(all_idx, pos_in_cand, axis=1)
-    found = top_d2 < 1e29
-    top_idx = jnp.where(found, top_idx, -1)
+    found = best_d2 < 1e29
+    best_idx = jnp.where(found, best_idx, -1)
     count = jnp.sum(found.astype(jnp.int32), axis=-1)
-    return top_idx, top_d2, count
+    return best_idx, best_d2, count
