@@ -18,9 +18,13 @@ import jax.numpy as jnp
 from .flatten import ThreadedBvh
 
 
+from typing import Optional
+
+
 @flax.struct.dataclass
 class DeviceBvh:
     nodes64: jnp.ndarray     # (N, 64) f32 fused node+leaf record
+    nodes64o: Optional[jnp.ndarray]  # (8N, 64) octant-ordered (None if huge)
     nodes16: jnp.ndarray     # (N, 16) f32 wide node record
     leaf48: jnp.ndarray      # (L, 48) f32 wide leaf record
     node_min: jnp.ndarray    # (N, 3) f32
@@ -37,6 +41,7 @@ class DeviceBvh:
     def from_threaded(t: ThreadedBvh) -> "DeviceBvh":
         return DeviceBvh(
             nodes64=jnp.asarray(t.nodes64),
+            nodes64o=None if t.nodes64o is None else jnp.asarray(t.nodes64o),
             nodes16=jnp.asarray(t.nodes16),
             leaf48=jnp.asarray(t.leaf48),
             node_min=jnp.asarray(t.node_min),

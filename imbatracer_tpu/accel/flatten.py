@@ -53,6 +53,7 @@ class ThreadedBvh:
     """
 
     nodes64: np.ndarray       # (N, 64) f32 fused node+leaf record
+    nodes64o: np.ndarray | None  # (8N, 64) octant-ordered records (or None)
     nodes16: np.ndarray       # (N, 16) f32 wide record (see above)
     leaf48: np.ndarray        # (L, 48) f32 wide record
     node_min: np.ndarray      # (N, 3) f32
@@ -158,8 +159,12 @@ def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) 
         pv0, pv1 - pv0, pv2 - pv0, packets.astype(np.int32),
     )
     nodes64 = pack_nodes64(nodes16, leaf48)
+    nodes64o = (
+        thread_bvh_octants(nodes, nodes64) if n <= OCTANT_MAX_NODES else None
+    )
     return ThreadedBvh(
         nodes64=nodes64,
+        nodes64o=nodes64o,
         nodes16=nodes16,
         leaf48=leaf48,
         node_min=nodes.bbox_min,
@@ -173,6 +178,68 @@ def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) 
         tri_id=packets.astype(np.int32),
         stats={"nodes": n, "leaves": num_leaves, "max_depth": depth},
     )
+
+
+OCTANT_MAX_NODES = 400_000
+
+
+def thread_bvh_octants(nodes: BvhNodes, nodes64: np.ndarray) -> np.ndarray:
+    """Ordered traversal: 8 threadings of the same tree, one per ray
+    direction octant, with the near child visited first.
+
+    The stackless skip-link scheme fixes the visit order at build time, so
+    a single threading must use an arbitrary child order; replicating the
+    (N, 64) records 8x with per-octant links restores front-to-back
+    traversal (earlier best_t shrink -> fewer visits).  Links in block o
+    are pre-offset by o*N so the traversal loop is unchanged; rays pick
+    their block once from the direction signs.  Gather cost on this TPU is
+    independent of table size, so the only price is memory (256 B/node/oct).
+
+    Returns (8*N, 64) float32.
+    """
+    n = nodes.right.shape[0]
+    is_leaf = nodes.right == -1
+    # Dominant separation axis + which child is "lower" along it.
+    lc = np.arange(n) + 1
+    rc = nodes.right.astype(np.int64)
+    center = 0.5 * (nodes.bbox_min + nodes.bbox_max)
+    sep_axis = np.zeros(n, np.int8)
+    left_is_lower = np.ones(n, bool)
+    inner = ~is_leaf
+    diff = np.zeros((n, 3), np.float32)
+    diff[inner] = center[lc[inner]] - center[rc[inner]]
+    sep_axis[inner] = np.argmax(np.abs(diff[inner]), axis=1).astype(np.int8)
+    left_is_lower[inner] = (
+        diff[inner][np.arange(inner.sum()), sep_axis[inner]] <= 0.0
+    )
+
+    out = np.empty((8 * n, 64), np.float32)
+    base_rec = nodes64.copy()
+    for o in range(8):
+        # Octant bit b set => direction component b is negative.
+        neg = np.array([(o >> 2) & 1, (o >> 1) & 1, o & 1], bool)
+        hit = np.empty(n, np.int32)
+        miss = np.empty(n, np.int32)
+        stack = [(0, -1)]
+        while stack:
+            i, m = stack.pop()
+            miss[i] = m
+            if is_leaf[i]:
+                hit[i] = m
+            else:
+                l, r = int(lc[i]), int(rc[i])
+                # near child: lower child first when dir >= 0 on the axis.
+                near_is_left = left_is_lower[i] ^ neg[sep_axis[i]]
+                near, far = (l, r) if near_is_left else (r, l)
+                hit[i] = near
+                stack.append((far, m))
+                stack.append((near, far))
+        blk = base_rec.copy()
+        off = o * n
+        blk[:, 6] = (np.where(hit >= 0, hit + off, -1)).astype(np.int32).view(np.float32)
+        blk[:, 7] = (np.where(miss >= 0, miss + off, -1)).astype(np.int32).view(np.float32)
+        out[off : off + n] = blk
+    return out
 
 
 def _max_depth(nodes: BvhNodes) -> int:

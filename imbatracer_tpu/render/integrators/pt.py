@@ -212,10 +212,17 @@ def trace_paths(
     return out["radiance"]
 
 
-def camera_rays(cam: Camera, width: int, height: int, spp: int, frame):
-    """Jittered primary rays + per-ray RNG state + pixel ids."""
-    num_pixels = width * height
-    pixel_id = jnp.tile(jnp.arange(num_pixels, dtype=jnp.int32), spp)
+def camera_rays(cam: Camera, width: int, height: int, spp: int, frame,
+                start_pixel: int = 0, count: int = 0):
+    """Jittered primary rays + per-ray RNG state + pixel ids.
+
+    start_pixel/count select a contiguous pixel band (used to split big
+    frames into multiple dispatches); RNG streams are keyed by the global
+    pixel id so banding never changes the rendered image."""
+    num_pixels = count if count > 0 else width * height
+    pixel_id = jnp.tile(
+        start_pixel + jnp.arange(num_pixels, dtype=jnp.int32), spp
+    )
     sample_id = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), num_pixels)
     state = rng_mod.seed(pixel_id, sample_id, frame)
     state, (jx, jy) = rng_mod.next_floats(state, 2)

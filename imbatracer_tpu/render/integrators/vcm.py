@@ -313,10 +313,13 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                  mis_eta_vc, mis_eta_vm, *, algo, width, height, spp, max_len,
                  light_path_count, num_connections, num_knn, table_size,
                  max_per_cell, has_masks, has_bump, alpha_fn, max_steps=0,
-                 techniques=TECHNIQUES):
-    num_pixels = width * height
+                 techniques=TECHNIQUES, start_pixel=0, band_pixels=0):
+    num_pixels = band_pixels if band_pixels > 0 else width * height
     num_lights = scene.lights.kind.shape[0]
-    org, d, state, pixel_id = camera_rays(cam, width, height, spp, frame)
+    org, d, state, pixel_id = camera_rays(
+        cam, width, height, spp, frame, start_pixel=start_pixel,
+        count=num_pixels,
+    )
     num_rays = org.shape[0]
 
     # dVCM init: pixel pdf converted to solid angle (vcm.cpp:120-129).
@@ -575,11 +578,77 @@ def _vertex_merging(scene, cache: LightVertexCache, grid, isect, throughput,
 #  Frame entry point
 # ======================================================================
 
+def _mis_constants(frame, base_radius, light_path_count, algo):
+    """Progressive radius + MIS constants (vcm.cpp:27-45)."""
+    iteration = frame.astype(jnp.float32) + 1.0
+    radius_alpha = 0.75
+    pm_radius = base_radius / jnp.power(iteration, 0.5 * (1.0 - radius_alpha))
+    pm_radius = jnp.maximum(pm_radius, 1e-7)
+    eta_vcm = PI * pm_radius * pm_radius * light_path_count
+    mis_eta_vc = mis_pow(1.0 / eta_vcm)
+    mis_eta_vm = jnp.zeros_like(eta_vcm) if algo == "bpt" else mis_pow(eta_vcm)
+    return pm_radius, mis_eta_vc, mis_eta_vm
+
+
+@partial(jax.jit, static_argnames=(
+    "algo", "num_pixels", "light_path_count", "max_len", "cache_capacity",
+    "table_size", "has_masks", "has_bump", "max_steps", "techniques",
+    "build_grid",
+))
+def _vcm_light_phase(scene, cam, frame, base_radius, *, algo, num_pixels,
+                     light_path_count, max_len, cache_capacity, table_size,
+                     has_masks, has_bump, max_steps, techniques, build_grid):
+    pm_radius, mis_eta_vc, mis_eta_vm = _mis_constants(
+        frame, base_radius, light_path_count, algo
+    )
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+    film, cache = _light_pass(
+        scene, cam, frame, pm_radius, base_radius, mis_eta_vc, mis_eta_vm,
+        algo=algo, num_pixels=num_pixels, light_path_count=light_path_count,
+        max_len=max_len, cache_capacity=cache_capacity, has_masks=has_masks,
+        has_bump=has_bump, alpha_fn=alpha_fn, max_steps=max_steps,
+        techniques=techniques,
+    )
+    grid = None
+    if build_grid:
+        valid = jnp.arange(cache_capacity) < cache.count
+        grid = build_hash_grid(cache.pos, valid, pm_radius, table_size)
+    return film, cache, grid
+
+
 @partial(jax.jit, static_argnames=(
     "algo", "width", "height", "spp", "max_len", "light_path_count",
-    "num_connections", "num_knn", "cache_capacity", "table_size",
-    "max_per_cell", "has_masks", "has_bump", "max_steps", "techniques",
+    "num_connections", "num_knn", "table_size", "max_per_cell", "has_masks",
+    "has_bump", "max_steps", "techniques", "band_pixels",
 ))
+def _vcm_camera_band(scene, cam, frame, cache, grid, base_radius, *, algo,
+                     width, height, spp, max_len, light_path_count,
+                     num_connections, num_knn, table_size, max_per_cell,
+                     has_masks, has_bump, max_steps, techniques,
+                     start_pixel, band_pixels):
+    pm_radius, mis_eta_vc, mis_eta_vm = _mis_constants(
+        frame, base_radius, light_path_count, algo
+    )
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+    return _camera_pass(
+        scene, cam, frame, cache, grid, pm_radius, base_radius,
+        mis_eta_vc, mis_eta_vm, algo=algo, width=width, height=height,
+        spp=spp, max_len=max_len, light_path_count=light_path_count,
+        num_connections=num_connections, num_knn=num_knn,
+        table_size=table_size, max_per_cell=max_per_cell,
+        has_masks=has_masks, has_bump=has_bump, alpha_fn=alpha_fn,
+        max_steps=max_steps, techniques=techniques,
+        start_pixel=start_pixel, band_pixels=band_pixels,
+    )
+
+
+# Rays per dispatch cap: a monolithic 1M-ray VCM graph exhausts device
+# memory (reproducible device fault at 1080p-scale); bands of <=2^18 rays
+# are safe, cheaper to compile, and bitwise-identical (RNG is keyed by
+# global pixel id).
+BAND_RAYS = 1 << 18
+
+
 def render_vcm_frame(
     scene,
     cam: Camera,
@@ -609,6 +678,8 @@ def render_vcm_frame(
     light_path_count, so light_path_count can differ from the pixel count.
     """
     assert algo in ALGOS
+    frame = jnp.asarray(frame, jnp.uint32)
+    base_radius = jnp.asarray(base_radius, jnp.float32)
     num_pixels = width * height
     if light_path_count <= 0:
         light_path_count = num_pixels // 2
@@ -617,44 +688,35 @@ def render_vcm_frame(
     if table_size <= 0:
         table_size = 2 * cache_capacity
 
-    # Progressive radius + MIS constants (vcm.cpp:27-45).
-    iteration = frame.astype(jnp.float32) + 1.0
-    radius_alpha = 0.75
-    pm_radius = base_radius / jnp.power(iteration, 0.5 * (1.0 - radius_alpha))
-    pm_radius = jnp.maximum(pm_radius, 1e-7)
-    eta_vcm = PI * pm_radius * pm_radius * light_path_count
-    mis_eta_vc = mis_pow(1.0 / eta_vcm)
-    mis_eta_vm = jnp.zeros_like(eta_vcm) if algo == "bpt" else mis_pow(eta_vcm)
-
-    alpha_fn = alpha_fn_for(scene) if has_masks else None
-
     film = jnp.zeros((num_pixels, 3), jnp.float32)
     cache = None
     grid = None
 
     if algo != "pt":
-        light_film, cache = _light_pass(
-            scene, cam, frame, pm_radius, base_radius, mis_eta_vc, mis_eta_vm,
-            algo=algo, num_pixels=num_pixels,
+        light_film, cache, grid = _vcm_light_phase(
+            scene, cam, frame, base_radius, algo=algo, num_pixels=num_pixels,
             light_path_count=light_path_count, max_len=max_len,
-            cache_capacity=cache_capacity, has_masks=has_masks,
-            has_bump=has_bump, alpha_fn=alpha_fn, max_steps=max_steps,
-            techniques=techniques,
+            cache_capacity=cache_capacity, table_size=table_size,
+            has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
+            techniques=techniques, build_grid=algo in ("vcm", "ppm"),
         )
         film = film + light_film
-        if algo in ("vcm", "ppm"):
-            valid = jnp.arange(cache_capacity) < cache.count
-            grid = build_hash_grid(cache.pos, valid, pm_radius, table_size)
 
     if algo != "lt":
-        film = film + _camera_pass(
-            scene, cam, frame, cache, grid, pm_radius, base_radius,
-            mis_eta_vc, mis_eta_vm, algo=algo, width=width, height=height,
-            spp=spp, max_len=max_len, light_path_count=light_path_count,
-            num_connections=num_connections, num_knn=num_knn,
-            table_size=table_size, max_per_cell=max_per_cell,
-            has_masks=has_masks, has_bump=has_bump, alpha_fn=alpha_fn,
-            max_steps=max_steps, techniques=techniques,
-        )
+        band = max(1, BAND_RAYS // max(spp, 1))
+        parts = []
+        for start in range(0, num_pixels, band):
+            bp = min(band, num_pixels - start)
+            parts.append(_vcm_camera_band(
+                scene, cam, frame, cache, grid, base_radius, algo=algo,
+                width=width, height=height, spp=spp, max_len=max_len,
+                light_path_count=light_path_count,
+                num_connections=num_connections, num_knn=num_knn,
+                table_size=table_size, max_per_cell=max_per_cell,
+                has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
+                techniques=techniques, start_pixel=jnp.int32(start),
+                band_pixels=bp,
+            ))
+        film = film + (parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0))
 
     return film

@@ -117,10 +117,24 @@ def _prep(org, d, tmin, tmax, active):
     return (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start)
 
 
-def _node_fetch(bvh, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
+def _octant_start(bvh, start, dx, dy, dz):
+    """Pick the per-ray octant block when ordered links are available
+    (front-to-back traversal; see accel/flatten.thread_bvh_octants)."""
+    if bvh.nodes64o is None:
+        return bvh.nodes64, start
+    n = bvh.nodes64.shape[0]
+    octant = (
+        ((dx < 0.0).astype(jnp.int32) << 2)
+        | ((dy < 0.0).astype(jnp.int32) << 1)
+        | (dz < 0.0).astype(jnp.int32)
+    )
+    return bvh.nodes64o, jnp.where(start >= 0, octant * n, -1)
+
+
+def _node_fetch(table, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
     """THE one gather per step (fused node+leaf record) + slab test.
     Returns (rec, box_hit, hit_link, miss_link, leaf_flag)."""
-    rec = bvh.nodes64[node]
+    rec = table[node]
     tx0 = (rec[:, 0] - ox) * ix
     tx1 = (rec[:, 3] - ox) * ix
     ty0 = (rec[:, 1] - oy) * iy
@@ -239,6 +253,7 @@ def closest_hit(
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
+    table, start = _octant_start(bvh, start, dx, dy, dz)
     if max_steps <= 0:
         max_steps = bvh.nodes16.shape[0]
     init = (
@@ -254,7 +269,7 @@ def closest_hit(
         act = node_raw >= 0
         node = jnp.maximum(node_raw, 0)
         rec, box_hit, hit_link, miss_link, leaf_id = _node_fetch(
-            bvh, node, ox, oy, oz, ix, iy, iz, tmin, best_t, act
+            table, node, ox, oy, oz, ix, iy, iz, tmin, best_t, act
         )
         do_leaf = box_hit & (leaf_id >= 0)
         leaf = rec[:, 12:60]  # embedded 4-triangle packet, no second gather
@@ -298,6 +313,7 @@ def any_hit(
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
+    table, start = _octant_start(bvh, start, dx, dy, dz)
     if max_steps <= 0:
         max_steps = bvh.nodes16.shape[0]
     init = (start, jnp.zeros_like(tmin, dtype=jnp.bool_))
@@ -307,7 +323,7 @@ def any_hit(
         act = node_raw >= 0
         node = jnp.maximum(node_raw, 0)
         rec, box_hit, hit_link, miss_link, leaf_id = _node_fetch(
-            bvh, node, ox, oy, oz, ix, iy, iz, tmin, tmax, act
+            table, node, ox, oy, oz, ix, iy, iz, tmin, tmax, act
         )
         do_leaf = box_hit & (leaf_id >= 0)
         leaf = rec[:, 12:60]
