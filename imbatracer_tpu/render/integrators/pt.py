@@ -234,8 +234,38 @@ def camera_rays(cam: Camera, width: int, height: int, spp: int, frame,
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_len", "has_masks", "has_bump", "with_stats", "max_steps"),
+    static_argnames=("width", "height", "spp", "max_len", "has_masks",
+                     "has_bump", "with_stats", "max_steps", "band_pixels"),
 )
+def _pt_band(
+    scene, cam, frame, start_pixel, *, width, height, spp, max_len,
+    has_masks, has_bump, with_stats, max_steps, band_pixels,
+):
+    org, d, state, pixel_id = camera_rays(
+        cam, width, height, spp, frame, start_pixel=start_pixel,
+        count=band_pixels,
+    )
+    out = trace_paths(
+        scene, org, d, state, max_len,
+        has_masks=has_masks, has_bump=has_bump, with_stats=with_stats,
+        max_steps=max_steps,
+    )
+    # pixel ids are start + arange(B) tiled by spp, so the "scatter" is a
+    # reshape+sum — no costly scatter op.
+    def fast_splat(radiance):
+        return radiance.reshape(spp, band_pixels, 3).sum(axis=0)
+
+    if with_stats:
+        radiance, n_rays = out
+        return fast_splat(radiance), n_rays
+    return fast_splat(out)
+
+
+# Rays-per-dispatch cap (same rationale as vcm.BAND_RAYS: monolithic
+# million-ray frame graphs over large BVHs exhaust device memory).
+BAND_RAYS = 1 << 18
+
+
 def render_pt_frame(
     scene,
     cam: Camera,
@@ -251,19 +281,27 @@ def render_pt_frame(
 ):
     """Render one progressive frame; returns an un-normalised (H*W, 3)
     radiance-sum film (divide by frames*spp for display, as the render
-    window does, render_window.cpp:99-121)."""
-    org, d, state, pixel_id = camera_rays(cam, width, height, spp, frame)
-    out = trace_paths(
-        scene, org, d, state, max_len,
-        has_masks=has_masks, has_bump=has_bump, with_stats=with_stats,
-        max_steps=max_steps,
-    )
-    # pixel_id is tile(arange(P), spp) by construction, so the "scatter"
-    # is a reshape+sum — no costly scatter op.
-    def fast_splat(radiance):
-        return radiance.reshape(spp, width * height, 3).sum(axis=0)
-
+    window does, render_window.cpp:99-121).  Large frames are rendered in
+    pixel bands (separate dispatches, bitwise-identical results)."""
+    frame = jnp.asarray(frame, jnp.uint32)
+    num_pixels = width * height
+    band = max(1, BAND_RAYS // max(spp, 1))
+    parts = []
+    stats = jnp.zeros((), jnp.int32)
+    for start in range(0, num_pixels, band):
+        bp = min(band, num_pixels - start)
+        out = _pt_band(
+            scene, cam, frame, jnp.int32(start), width=width, height=height,
+            spp=spp, max_len=max_len, has_masks=has_masks, has_bump=has_bump,
+            with_stats=with_stats, max_steps=max_steps, band_pixels=bp,
+        )
+        if with_stats:
+            film_part, n = out
+            parts.append(film_part)
+            stats = stats + n
+        else:
+            parts.append(out)
+    film = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     if with_stats:
-        radiance, n_rays = out
-        return fast_splat(radiance), n_rays
-    return fast_splat(out)
+        return film, stats
+    return film
