@@ -72,20 +72,26 @@ def shading_normal_adjoint(normal, gn, w_out, w_in):
     return dot(w_out, normal) * dot(w_in, gn) / denom
 
 
-def _gather_vertex_params(scene, cache: LightVertexCache, idx):
-    """Re-gather material parameters for cached light vertices."""
+def _vertex_from_rec(scene, rec):
+    """Unpack a gathered (R, 24) cache record (LightVertexCache.packed)."""
     from ...scene.textures import sample_bilinear
 
-    mat_id = cache.mat_id[idx]
-    kd_tex = scene.materials.kd_tex[mat_id]
-    uv = cache.uv[idx]
-    kd = scene.materials.kd[mat_id]
-    kd = jnp.where(
-        (kd_tex >= 0)[..., None],
-        sample_bilinear(scene.textures, kd_tex, uv[..., 0], uv[..., 1]),
-        kd,
+    bits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
+    mat_id = bits(14)
+    uv = rec[:, 12:14]
+    params = mat_mod.gather_params(scene.materials, mat_id)
+    if scene.textures.texels.shape[0] > 1:
+        kd = jnp.where(
+            (params["kd_tex"] >= 0)[..., None],
+            sample_bilinear(scene.textures, params["kd_tex"], uv[:, 0], uv[:, 1]),
+            params["kd"],
+        )
+        params["kd"] = kd
+    return dict(
+        pos=rec[:, 0:3], w_out=rec[:, 3:6], normal=rec[:, 6:9], gn=rec[:, 9:12],
+        params=params, throughput=rec[:, 15:18], d_vc=rec[:, 18],
+        d_vcm=rec[:, 19], d_vm=rec[:, 20], path_length=bits(21),
     )
-    return mat_mod.gather_params(scene.materials, mat_id, kd_override=kd)
 
 
 # ======================================================================
@@ -316,6 +322,8 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                  techniques=TECHNIQUES, start_pixel=0, band_pixels=0):
     num_pixels = band_pixels if band_pixels > 0 else width * height
     num_lights = scene.lights.kind.shape[0]
+    # Wide-record view of the vertex cache: one gather per vertex access.
+    cache_rec = cache.packed() if cache is not None else None
     org, d, state, pixel_id = camera_rays(
         cam, width, height, spp, frame, start_pixel=start_pixel,
         count=num_pixels,
@@ -413,7 +421,7 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
         if algo in ("vcm", "bpt"):
             for _ in range(num_connections):
                 st, radiance = _connect(
-                    scene, cache, isect, c["throughput"], d_vc, d_vcm,
+                    scene, cache, cache_rec, isect, c["throughput"], d_vc, d_vcm,
                     active & non_spec, st, radiance, mis_eta_vm,
                     light_path_count, num_connections, max_len,
                     cam_path_length=i + 1, base_radius=base_radius,
@@ -424,7 +432,7 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
         # --- vertex merging (vcm.cpp:433-436, 571-611) ------------------
         if algo in ("vcm", "ppm") and "merge" in techniques:
             radiance = _vertex_merging(
-                scene, cache, grid, isect, c["throughput"], d_vcm, d_vm,
+                scene, cache, cache_rec, grid, isect, c["throughput"], d_vcm, d_vm,
                 active & non_spec, radiance, mis_eta_vc, pm_radius,
                 light_path_count, num_knn, table_size, max_per_cell, algo,
             )
@@ -475,10 +483,10 @@ def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
     return state, radiance
 
 
-def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
-             active, state, radiance, mis_eta_vm, light_path_count,
-             num_connections, max_len, *, cam_path_length, base_radius, alpha_fn,
-             max_steps=0, enabled=True):
+def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
+             d_vc, d_vcm, active, state, radiance, mis_eta_vm,
+             light_path_count, num_connections, max_len, *, cam_path_length,
+             base_radius, alpha_fn, max_steps=0, enabled=True):
     """One vertex connection per ray (vcm.cpp:488-569)."""
     state, (uc,) = rng_mod.next_floats(state, 1)
     count = cache.count
@@ -486,9 +494,9 @@ def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
     j = jnp.minimum((uc * count.astype(jnp.float32)).astype(jnp.int32),
                     jnp.maximum(count - 1, 0))
 
-    vpos = cache.pos[j]
-    v_len = cache.path_length[j]
-    ok = active & have & (v_len + cam_path_length <= max_len)
+    v = _vertex_from_rec(scene, cache_rec[j])   # the ONE vertex gather
+    vpos = v["pos"]
+    ok = active & have & (v["path_length"] + cam_path_length <= max_len)
 
     to_v = vpos - isect.pos
     dist_sq = jnp.maximum(dot(to_v, to_v), 1e-20)
@@ -502,10 +510,10 @@ def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
     pdf_cam_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, cdir, isect.w_out)
 
     # Light-side BSDF (adjoint eval; same formulas for non-delta kinds).
-    vparams = _gather_vertex_params(scene, cache, j)
-    vn = cache.normal[j]
-    vgn = cache.gn[j]
-    vout = cache.w_out[j]
+    vparams = v["params"]
+    vn = v["normal"]
+    vgn = v["gn"]
+    vout = v["w_out"]
     f_light = mat_mod.eval_bsdf(vparams, vn, vgn, vout, -cdir)
     pdf_light = mat_mod.pdf_bsdf(vparams, vn, vgn, vout, -cdir)
     pdf_light_rev = mat_mod.pdf_bsdf(vparams, vn, vgn, -cdir, vout)
@@ -519,13 +527,13 @@ def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
 
     pdf_cam_a = pdf_cam * cos_light / dist_sq
     pdf_light_a = pdf_light * cos_cam / dist_sq
-    w_light = mis_pow(pdf_cam_a) * (mis_eta_vm + cache.d_vcm[j] + cache.d_vc[j] * mis_pow(pdf_light_rev))
+    w_light = mis_pow(pdf_cam_a) * (mis_eta_vm + v["d_vcm"] + v["d_vc"] * mis_pow(pdf_light_rev))
     w_cam = mis_pow(pdf_light_a) * (mis_eta_vm + d_vcm + d_vc * mis_pow(pdf_cam_rev))
     w = 1.0 / (w_cam + 1.0 + w_light)
 
     vc_weight = count.astype(jnp.float32) / (light_path_count * num_connections)
     contrib = (
-        throughput * cache.throughput[j] * f_cam * f_light
+        throughput * v["throughput"] * f_cam * f_light
         * (w * geom * vc_weight)[..., None]
     )
     ok = ok & jnp.any(contrib > 0.0, axis=-1)
@@ -538,9 +546,10 @@ def _connect(scene, cache: LightVertexCache, isect, throughput, d_vc, d_vcm,
     return state, radiance
 
 
-def _vertex_merging(scene, cache: LightVertexCache, grid, isect, throughput,
-                    d_vcm, d_vm, active, radiance, mis_eta_vc, pm_radius,
-                    light_path_count, num_knn, table_size, max_per_cell, algo):
+def _vertex_merging(scene, cache: LightVertexCache, cache_rec, grid, isect,
+                    throughput, d_vcm, d_vm, active, radiance, mis_eta_vc,
+                    pm_radius, light_path_count, num_knn, table_size,
+                    max_per_cell, algo):
     """kNN photon gather + Epanechnikov kernel (vcm.cpp:571-611)."""
     idx, d2, count = query_knn(grid, isect.pos, num_knn, max_per_cell, table_size)
     full = count >= num_knn
@@ -551,21 +560,20 @@ def _vertex_merging(scene, cache: LightVertexCache, grid, isect, throughput,
     for slot in range(num_knn):
         p = jnp.maximum(idx[:, slot], 0)
         ok = active & (idx[:, slot] >= 0)
-        # Merging must not shorten paths beyond max length is handled by
-        # construction (light cap == camera cap).
-        photon_in = cache.w_out[p]
+        prec = cache_rec[p]                      # one wide gather per slot
+        photon_in = prec[:, 3:6]
         f = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, photon_in)
         pdf_dir = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, photon_in)
         pdf_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, photon_in, isect.w_out)
         ok = ok & (pdf_dir > 0.0) & (pdf_rev > 0.0) & jnp.any(f != 0.0, axis=-1)
 
-        w_light = cache.d_vcm[p] * mis_eta_vc + cache.d_vm[p] * mis_pow(pdf_dir)
+        w_light = prec[:, 19] * mis_eta_vc + prec[:, 20] * mis_pow(pdf_dir)
         w_cam = d_vcm * mis_eta_vc + d_vm * mis_pow(pdf_rev)
         w = jnp.ones_like(w_cam) if algo == "ppm" else 1.0 / (w_light + 1.0 + w_cam)
 
         kernel = jnp.maximum(1.0 - d2[:, slot] / radius_sqr, 0.0)
         contrib = contrib + jnp.where(
-            ok[..., None], cache.throughput[p] * f * (w * kernel)[..., None], 0.0
+            ok[..., None], prec[:, 15:18] * f * (w * kernel)[..., None], 0.0
         )
 
     norm = 2.0 / (PI * radius_sqr * light_path_count)
