@@ -101,17 +101,19 @@ def _vertex_from_rec(scene, rec):
 def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
                 mis_eta_vm, *, algo, num_pixels, light_path_count, max_len,
                 cache_capacity, has_masks, has_bump, alpha_fn, max_steps=0,
-                techniques=TECHNIQUES):
+                techniques=TECHNIQUES, path_start=0, band_paths=0,
+                cache_in=None):
     num_lights = scene.lights.kind.shape[0]
-    L = light_path_count
+    L = band_paths if band_paths > 0 else light_path_count
     pdf_lightpick = 1.0 / num_lights
 
-    path_id = jnp.arange(L, dtype=jnp.int32)
+    path_id = path_start + jnp.arange(L, dtype=jnp.int32)
     state = rng_mod.seed(path_id, frame, jnp.uint32(0x1157A9))
     # Uniform split of paths across lights (UniformLightTileGen,
     # reference: render/ray_gen/tile_gen.h:98-177; pdf approximated as
-    # uniform pick, vcm.cpp:67-68).
-    light_idx = (path_id * num_lights) // L
+    # uniform pick, vcm.cpp:67-68).  The split is over the GLOBAL path
+    # index so banding never changes which light a path samples.
+    light_idx = (path_id * num_lights) // light_path_count
     state, (u1, u2, u3, u4) = rng_mod.next_floats(state, 4)
     es = light_mod.sample_emit(
         scene.lights, light_idx, u1, u2, u3, u4, scene.bsphere, scene.env
@@ -135,7 +137,7 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm,
         state=state,
         film=jnp.zeros((num_pixels, 3), jnp.float32),
-        cache=empty_cache(cache_capacity),
+        cache=empty_cache(cache_capacity) if cache_in is None else cache_in,
     )
 
     def body(i, c):
@@ -600,28 +602,32 @@ def _mis_constants(frame, base_radius, light_path_count, algo):
 
 @partial(jax.jit, static_argnames=(
     "algo", "num_pixels", "light_path_count", "max_len", "cache_capacity",
-    "table_size", "has_masks", "has_bump", "max_steps", "techniques",
-    "build_grid",
+    "has_masks", "has_bump", "max_steps", "techniques", "band_paths",
 ))
-def _vcm_light_phase(scene, cam, frame, base_radius, *, algo, num_pixels,
-                     light_path_count, max_len, cache_capacity, table_size,
-                     has_masks, has_bump, max_steps, techniques, build_grid):
+def _vcm_light_band(scene, cam, frame, base_radius, path_start, cache_in, *,
+                    algo, num_pixels, light_path_count, max_len,
+                    cache_capacity, has_masks, has_bump, max_steps,
+                    techniques, band_paths):
     pm_radius, mis_eta_vc, mis_eta_vm = _mis_constants(
         frame, base_radius, light_path_count, algo
     )
     alpha_fn = alpha_fn_for(scene) if has_masks else None
-    film, cache = _light_pass(
+    return _light_pass(
         scene, cam, frame, pm_radius, base_radius, mis_eta_vc, mis_eta_vm,
         algo=algo, num_pixels=num_pixels, light_path_count=light_path_count,
         max_len=max_len, cache_capacity=cache_capacity, has_masks=has_masks,
         has_bump=has_bump, alpha_fn=alpha_fn, max_steps=max_steps,
-        techniques=techniques,
+        techniques=techniques, path_start=path_start, band_paths=band_paths,
+        cache_in=cache_in,
     )
-    grid = None
-    if build_grid:
-        valid = jnp.arange(cache_capacity) < cache.count
-        grid = build_hash_grid(cache.pos, valid, pm_radius, table_size)
-    return film, cache, grid
+
+
+@partial(jax.jit, static_argnames=("table_size", "cache_capacity", "light_path_count", "algo"))
+def _vcm_build_grid(cache, frame, base_radius, *, table_size, cache_capacity,
+                    light_path_count, algo):
+    pm_radius, _, _ = _mis_constants(frame, base_radius, light_path_count, algo)
+    valid = jnp.arange(cache_capacity) < cache.count
+    return build_hash_grid(cache.pos, valid, pm_radius, table_size)
 
 
 @partial(jax.jit, static_argnames=(
@@ -701,14 +707,25 @@ def render_vcm_frame(
     grid = None
 
     if algo != "pt":
-        light_film, cache, grid = _vcm_light_phase(
-            scene, cam, frame, base_radius, algo=algo, num_pixels=num_pixels,
-            light_path_count=light_path_count, max_len=max_len,
-            cache_capacity=cache_capacity, table_size=table_size,
-            has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
-            techniques=techniques, build_grid=algo in ("vcm", "ppm"),
-        )
-        film = film + light_film
+        lband = max(1, BAND_RAYS)
+        cache = empty_cache(cache_capacity)
+        for start in range(0, light_path_count, lband):
+            bp = min(lband, light_path_count - start)
+            light_film, cache = _vcm_light_band(
+                scene, cam, frame, base_radius, jnp.int32(start), cache,
+                algo=algo, num_pixels=num_pixels,
+                light_path_count=light_path_count, max_len=max_len,
+                cache_capacity=cache_capacity, has_masks=has_masks,
+                has_bump=has_bump, max_steps=max_steps, techniques=techniques,
+                band_paths=bp,
+            )
+            film = film + light_film
+        if algo in ("vcm", "ppm"):
+            grid = _vcm_build_grid(
+                cache, frame, base_radius, table_size=table_size,
+                cache_capacity=cache_capacity,
+                light_path_count=light_path_count, algo=algo,
+            )
 
     if algo != "lt":
         band = max(1, BAND_RAYS // max(spp, 1))
