@@ -20,6 +20,12 @@ Model parity (formulas match the reference exactly unless noted):
 - GLOSSY  : 0.5 * (CookTorrance(ks, Fresnel(1, ns), ns) + Lambertian(kd))
             with Blinn half-vector distribution       (brdfs.h:146-227,
             bsdf.h CombineBxDF)
+- PHONG   : (ns+2)/2pi ks cos^ns about the mirror direction, sampled as a
+            power-cosine lobe around it                (brdfs.h:48-91)
+- OREN_NAYAR: rough diffuse, sigma (degrees) in `ns`   (brdfs.h:94-144)
+  (both exist as BxDFs in the reference but are unreachable from its OBJ
+  material conversion; here they are first-class kinds available to
+  procedural scenes and the Python material API)
 
 Deliberate improvement over the reference: for GLOSSY sampling we return
 the *full* combined f and the *mixture* pdf (0.5 pa + 0.5 pb) instead of
@@ -52,6 +58,8 @@ MAT_DIFFUSE = 0
 MAT_MIRROR = 1
 MAT_GLASS = 2
 MAT_GLOSSY = 3
+MAT_PHONG = 4
+MAT_OREN_NAYAR = 5
 
 
 @flax.struct.dataclass
@@ -198,6 +206,74 @@ def _ct_sample(ns, lo, u1, u2):
     return li, pdf
 
 
+# ------------------------------------------------------------------ phong
+
+def _mirror_local(v):
+    return jnp.stack([-v[..., 0], -v[..., 1], v[..., 2]], axis=-1)
+
+
+def _phong_eval(ks, ns, lo, li):
+    """(ns+2)/(2pi) ks max(cos(r, wo))^ns (brdfs.h:56-65)."""
+    refl_in = _mirror_local(li)
+    cos_ro = jnp.clip(jnp.sum(refl_in * lo, axis=-1), 0.0, 1.0)
+    same = lo[..., 2] * li[..., 2] > 0.0
+    val = ks * ((ns + 2.0) / (2.0 * PI) * jnp.power(cos_ro, ns))[..., None]
+    return jnp.where(same[..., None], val, 0.0)
+
+
+def _phong_pdf(ns, lo, li):
+    """Power-cosine pdf about the mirror direction of `lo`.
+
+    Deliberate fix over the reference: brdfs.h:87-90 returns the pdf about
+    the NORMAL (in_dir.z) although sample() draws the lobe about the
+    REFLECTED direction (brdfs.h:67-85) — an axis mismatch that makes
+    f/pdf blow up at grazing angles (caught by the white-furnace test).
+    """
+    c = jnp.maximum(jnp.sum(_mirror_local(lo) * li, axis=-1), 0.0)
+    return (ns + 1.0) / (2.0 * PI) * jnp.power(c, ns)
+
+
+def _phong_sample(ns, lo, u1, u2):
+    """Power-cosine lobe about the reflected direction (brdfs.h:67-85)."""
+    from ..core.sampling import sample_power_cos_hemisphere, to_world as tw
+
+    d_loc, pdf = sample_power_cos_hemisphere(ns, u1, u2)
+    refl = _mirror_local(lo)
+    li = tw(d_loc, refl)
+    return li, pdf
+
+
+# -------------------------------------------------------------- oren-nayar
+
+def _oren_nayar_eval(kd, sigma_deg, lo, li):
+    """Oren-Nayar rough diffuse (brdfs.h:94-144); sigma in degrees."""
+    sigma = sigma_deg * (PI / 180.0)
+    s2 = sigma * sigma
+    a = 1.0 - s2 / (2.0 * (s2 + 0.33))
+    b = 0.45 * s2 / (s2 + 0.09)
+
+    def sin_theta(v):
+        return jnp.sqrt(jnp.maximum(0.0, 1.0 - v[..., 2] * v[..., 2]))
+
+    st_i = sin_theta(li)
+    st_o = sin_theta(lo)
+    denom = jnp.maximum(st_i * st_o, 1e-6)
+    cos_dphi = (li[..., 0] * lo[..., 0] + li[..., 1] * lo[..., 1]) / denom
+    max_cos = jnp.where((st_i > 1e-4) & (st_o > 1e-4), jnp.maximum(cos_dphi, 0.0), 0.0)
+
+    abs_ci = jnp.abs(li[..., 2])
+    abs_co = jnp.abs(lo[..., 2])
+    sin_alpha = jnp.where(abs_ci > abs_co, st_o, st_i)
+    tan_beta = jnp.where(
+        abs_ci > abs_co,
+        st_i / jnp.maximum(abs_ci, 1e-6),
+        st_o / jnp.maximum(abs_co, 1e-6),
+    )
+    same = lo[..., 2] * li[..., 2] > 0.0
+    val = kd * (INV_PI * (a + b * max_cos * sin_alpha * tan_beta))[..., None]
+    return jnp.where(same[..., None], val, 0.0)
+
+
 # ---------------------------------------------------------------- eval/pdf
 
 def _lambert_eval(kd, lo, li):
@@ -221,6 +297,8 @@ def eval_bsdf(p: MatParams, n, gn, wo, wi, adjoint: bool = False):
     f = jnp.zeros_like(f_diff)
     f = where3(kind == MAT_DIFFUSE, f_diff, f)
     f = where3(kind == MAT_GLOSSY, f_glossy, f)
+    f = where3(kind == MAT_PHONG, _phong_eval(p["ks"], p["ns"], lo, li), f)
+    f = where3(kind == MAT_OREN_NAYAR, _oren_nayar_eval(p["kd"], p["ns"], lo, li), f)
     # Reflection-only materials contribute nothing across the surface.
     return where3(same_geom, f, jnp.zeros_like(f))
 
@@ -239,6 +317,8 @@ def pdf_bsdf(p: MatParams, n, gn, wo, wi):
     pdf = jnp.zeros_like(pdf_cos)
     pdf = jnp.where(kind == MAT_DIFFUSE, pdf_cos, pdf)
     pdf = jnp.where(kind == MAT_GLOSSY, pdf_glossy, pdf)
+    pdf = jnp.where(kind == MAT_PHONG, _phong_pdf(p["ns"], lo, li), pdf)
+    pdf = jnp.where(kind == MAT_OREN_NAYAR, pdf_cos, pdf)
     return jnp.where(same_geom, pdf, 0.0)
 
 
@@ -297,10 +377,15 @@ def sample_bsdf(p: MatParams, n, gn, wo, u1, u2, u3, adjoint: bool = False):
     f_glass = where3(choose_trans, f_trans, f_glass_refl)
     pdf_glass = jnp.where(choose_trans, btdf_prob, 1.0 - btdf_prob)
 
+    # --- PHONG lobe about the reflection --------------------------------
+    li_phong, _ = _phong_sample(p["ns"], lo, u1, u2)
+
     # --- select per kind ------------------------------------------------
     li = where3(kind == MAT_DIFFUSE, d_cos, li_glossy)
     li = where3(kind == MAT_MIRROR, li_mirror, li)
     li = where3(kind == MAT_GLASS, li_glass, li)
+    li = where3(kind == MAT_PHONG, li_phong, li)
+    li = where3(kind == MAT_OREN_NAYAR, d_cos, li)
 
     wi = to_world(li, n)
 
@@ -316,11 +401,15 @@ def sample_bsdf(p: MatParams, n, gn, wo, u1, u2, u3, adjoint: bool = False):
     f = where3(kind == MAT_GLOSSY, f_glossy, f)
     f = where3(kind == MAT_MIRROR, f_mirror, f)
     f = where3(kind == MAT_GLASS, f_glass, f)
+    f = where3(kind == MAT_PHONG, _phong_eval(p["ks"], p["ns"], lo, li), f)
+    f = where3(kind == MAT_OREN_NAYAR, _oren_nayar_eval(p["kd"], p["ns"], lo, li), f)
 
     pdf = jnp.where(kind == MAT_DIFFUSE, pdf_diff, jnp.zeros_like(pdf_diff))
     pdf = jnp.where(kind == MAT_GLOSSY, pdf_glossy, pdf)
     pdf = jnp.where(kind == MAT_MIRROR, 1.0, pdf)
     pdf = jnp.where(kind == MAT_GLASS, pdf_glass, pdf)
+    pdf = jnp.where(kind == MAT_PHONG, _phong_pdf(p["ns"], lo, li), pdf)
+    pdf = jnp.where(kind == MAT_OREN_NAYAR, pdf_diff, pdf)
 
     spec = is_specular(p)
 
