@@ -72,13 +72,15 @@ def shading_normal_adjoint(normal, gn, w_out, w_in):
     return dot(w_out, normal) * dot(w_in, gn) / denom
 
 
-def _vertex_from_rec(scene, rec):
-    """Unpack a gathered (R, 24) cache record (LightVertexCache.packed)."""
+def _vertex_from_rec(scene, rec_t):
+    """Unpack a gathered+transposed (24, R) cache record
+    (LightVertexCache.packed; transposed so component reads are contiguous
+    row slices)."""
     from ...scene.textures import sample_bilinear
 
-    bits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
+    bits = lambda row: jax.lax.bitcast_convert_type(rec_t[row], jnp.int32)
     mat_id = bits(14)
-    uv = rec[:, 12:14]
+    uv = rec_t[12:14].T
     params = mat_mod.gather_params(scene.materials, mat_id)
     if scene.textures.texels.shape[0] > 1:
         kd = jnp.where(
@@ -88,9 +90,10 @@ def _vertex_from_rec(scene, rec):
         )
         params["kd"] = kd
     return dict(
-        pos=rec[:, 0:3], w_out=rec[:, 3:6], normal=rec[:, 6:9], gn=rec[:, 9:12],
-        params=params, throughput=rec[:, 15:18], d_vc=rec[:, 18],
-        d_vcm=rec[:, 19], d_vm=rec[:, 20], path_length=bits(21),
+        pos=rec_t[0:3].T, w_out=rec_t[3:6].T, normal=rec_t[6:9].T,
+        gn=rec_t[9:12].T, params=params, throughput=rec_t[15:18].T,
+        d_vc=rec_t[18], d_vcm=rec_t[19], d_vm=rec_t[20],
+        path_length=bits(21),
     )
 
 
@@ -496,7 +499,7 @@ def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
     j = jnp.minimum((uc * count.astype(jnp.float32)).astype(jnp.int32),
                     jnp.maximum(count - 1, 0))
 
-    v = _vertex_from_rec(scene, cache_rec[j])   # the ONE vertex gather
+    v = _vertex_from_rec(scene, cache_rec[j].T)   # the ONE vertex gather
     vpos = v["pos"]
     ok = active & have & (v["path_length"] + cam_path_length <= max_len)
 
@@ -562,20 +565,20 @@ def _vertex_merging(scene, cache: LightVertexCache, cache_rec, grid, isect,
     for slot in range(num_knn):
         p = jnp.maximum(idx[:, slot], 0)
         ok = active & (idx[:, slot] >= 0)
-        prec = cache_rec[p]                      # one wide gather per slot
-        photon_in = prec[:, 3:6]
+        prec_t = cache_rec[p].T                  # one wide gather per slot
+        photon_in = prec_t[3:6].T
         f = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, photon_in)
         pdf_dir = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, photon_in)
         pdf_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, photon_in, isect.w_out)
         ok = ok & (pdf_dir > 0.0) & (pdf_rev > 0.0) & jnp.any(f != 0.0, axis=-1)
 
-        w_light = prec[:, 19] * mis_eta_vc + prec[:, 20] * mis_pow(pdf_dir)
+        w_light = prec_t[19] * mis_eta_vc + prec_t[20] * mis_pow(pdf_dir)
         w_cam = d_vcm * mis_eta_vc + d_vm * mis_pow(pdf_rev)
         w = jnp.ones_like(w_cam) if algo == "ppm" else 1.0 / (w_light + 1.0 + w_cam)
 
         kernel = jnp.maximum(1.0 - d2[:, slot] / radius_sqr, 0.0)
         contrib = contrib + jnp.where(
-            ok[..., None], prec[:, 15:18] * f * (w * kernel)[..., None], 0.0
+            ok[..., None], prec_t[15:18].T * f * (w * kernel)[..., None], 0.0
         )
 
     norm = 2.0 / (PI * radius_sqr * light_path_count)

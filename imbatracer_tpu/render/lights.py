@@ -110,16 +110,19 @@ UNROLL_LIGHTS = 8
 
 
 def _fetch_rows(table_rec, li):
-    """Per-ray light-record fetch.  For small tables a select-chain over
-    static rows replaces the dynamic gather (a gather costs a flat ~3.3 ms
-    per 1M rays on this TPU; 8 selects are ~free)."""
+    """Per-ray light-record fetch, TRANSPOSED to (24, R).  For small tables
+    a select-chain over static rows replaces the dynamic gather (a gather
+    costs a flat ~3.3 ms per 1M rays on this TPU; 8 selects are ~free);
+    either way the result is component-major so the ~18 component reads
+    below are contiguous row slices, not cross-lane column extracts
+    (measured ~6x difference)."""
     L = table_rec.shape[0]
     if L <= UNROLL_LIGHTS:
-        rec = jnp.broadcast_to(table_rec[0], li.shape + (table_rec.shape[1],))
+        rec_t = jnp.broadcast_to(table_rec[0][:, None], (table_rec.shape[1],) + li.shape)
         for l in range(1, L):
-            rec = jnp.where((li == l)[..., None], table_rec[l], rec)
-        return rec
-    return table_rec[li]
+            rec_t = jnp.where((li == l)[None, :], table_rec[l][:, None], rec_t)
+        return rec_t
+    return table_rec[li].T
 
 
 def is_delta_kind(kind):
@@ -141,17 +144,17 @@ def sample_direct(
 ) -> DirectSample:
     """Sample a point/direction on light `light_idx` for NEE shadow rays."""
     li = jnp.maximum(light_idx, 0)
-    rec = _fetch_rows(lights.rec, li)
-    kind = _bits(rec[:, 0])
-    p0 = rec[:, 1:4]
-    p1 = rec[:, 4:7]
-    p2 = rec[:, 7:10]
-    n = rec[:, 10:13]
-    intensity = rec[:, 13:16]
-    cos_angle = rec[:, 17]
+    rec_t = _fetch_rows(lights.rec, li)
+    kind = _bits(rec_t[0])
+    p0 = rec_t[1:4].T
+    p1 = rec_t[4:7].T
+    p2 = rec_t[7:10].T
+    n = rec_t[10:13].T
+    intensity = rec_t[13:16].T
+    cos_angle = rec_t[17]
 
     # --- TRI (light.h:145-180) -----------------------------------------
-    area = rec[:, 16]
+    area = rec_t[16]
     tu, tv = sample_uniform_triangle(u1, u2)
     pos = tu[..., None] * p0 + tv[..., None] * p1 + (1.0 - tu - tv)[..., None] * p2
     to_l = pos - from_pos
@@ -243,17 +246,17 @@ def sample_emit(
 ) -> EmitSample:
     """Sample an outgoing photon ray from light `light_idx` (light pass)."""
     li = jnp.maximum(light_idx, 0)
-    rec = _fetch_rows(lights.rec, li)
-    kind = _bits(rec[:, 0])
-    p0 = rec[:, 1:4]
-    p1 = rec[:, 4:7]
-    p2 = rec[:, 7:10]
-    n = rec[:, 10:13]
-    intensity = rec[:, 13:16]
-    cos_angle = rec[:, 17]
+    rec_t = _fetch_rows(lights.rec, li)
+    kind = _bits(rec_t[0])
+    p0 = rec_t[1:4].T
+    p1 = rec_t[4:7].T
+    p2 = rec_t[7:10].T
+    n = rec_t[10:13].T
+    intensity = rec_t[13:16].T
+    cos_angle = rec_t[17]
 
     # --- TRI (light.h:109-143) -----------------------------------------
-    area = jnp.maximum(rec[:, 16], 1e-12)
+    area = jnp.maximum(rec_t[16], 1e-12)
     tu, tv = sample_uniform_triangle(u1, u2)
     pos_t = tu[..., None] * p0 + tv[..., None] * p1 + (1.0 - tu - tv)[..., None] * p2
     d_loc, pdf_cos = sample_cos_hemisphere(u3, u4)

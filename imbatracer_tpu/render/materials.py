@@ -97,17 +97,18 @@ def gather_params(table: MaterialTable, mat_id: jnp.ndarray, kd_override=None) -
     import jax.lax
 
     m = jnp.maximum(mat_id, 0)
-    rec = table.rec[m]
-    bits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
-    kd = rec[:, 1:4] if kd_override is None else kd_override
+    # Transposed once so component reads are contiguous row slices.
+    rec_t = table.rec[m].T
+    bits = lambda row: jax.lax.bitcast_convert_type(rec_t[row], jnp.int32)
+    kd = rec_t[1:4].T if kd_override is None else kd_override
     return MatParams(
         kind=bits(0),
         kd=kd,
-        ks=rec[:, 4:7],
-        tf=rec[:, 7:10],
-        ns=rec[:, 10],
-        ior=rec[:, 11],
-        emit=rec[:, 12:15],
+        ks=rec_t[4:7].T,
+        tf=rec_t[7:10].T,
+        ns=rec_t[10],
+        ior=rec_t[11],
+        emit=rec_t[12:15].T,
         kd_tex=bits(15),
         bump_tex=bits(16),
         mask_tex=bits(17),

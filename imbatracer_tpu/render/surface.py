@@ -52,20 +52,24 @@ def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> Surface
     """Gather per-hit shading data with a single wide-record gather.
     `hit.prim_id` < 0 rows produce garbage that callers must mask."""
     prim = jnp.maximum(hit.prim_id, 0)
-    rec = scene.attrs.shade_rec[prim]    # (R, 48) — the one gather
-    bits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
+    # One gather, transposed once: row slices of (48, R) are contiguous
+    # (column extracts of (R, 48) are cross-lane shuffles, ~6x slower).
+    rec_t = scene.attrs.shade_rec[prim].T
+    row3 = lambda c: rec_t[c:c + 3].T
+    row2 = lambda c: rec_t[c:c + 2].T
+    bits = lambda c: jax.lax.bitcast_convert_type(rec_t[c], jnp.int32)
 
     w0 = (1.0 - hit.u - hit.v)[..., None]
     wu = hit.u[..., None]
     wv = hit.v[..., None]
 
-    uv = w0 * rec[:, 12:14] + wu * rec[:, 14:16] + wv * rec[:, 16:18]
-    n = normalize(w0 * rec[:, 0:3] + wu * rec[:, 3:6] + wv * rec[:, 6:9])
-    gn = rec[:, 9:12]
+    uv = w0 * row2(12) + wu * row2(14) + wv * row2(16)
+    n = normalize(w0 * row3(0) + wu * row3(3) + wv * row3(6))
+    gn = row3(9)
     mat_id = bits(18)
     light_id = bits(19)
 
-    kd = rec[:, 23:26]
+    kd = row3(23)
     kd_tex = bits(38)
     has_textures = scene.textures.texels.shape[0] > 1
     if has_textures:
@@ -77,11 +81,11 @@ def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> Surface
     params = mat_mod.MatParams(
         kind=bits(22),
         kd=kd,
-        ks=rec[:, 26:29],
-        tf=rec[:, 29:32],
-        ns=rec[:, 32],
-        ior=rec[:, 33],
-        emit=rec[:, 34:37],
+        ks=row3(26),
+        tf=row3(29),
+        ns=rec_t[32],
+        ior=rec_t[33],
+        emit=row3(34),
         kd_tex=kd_tex,
         bump_tex=bits(39),
         mask_tex=bits(40),
@@ -103,8 +107,8 @@ def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> Surface
         uv=uv,
         mat_id=mat_id,
         light_id=light_id,
-        emit=rec[:, 34:37],
-        area=rec[:, 37],
+        emit=row3(34),
+        area=rec_t[37],
         params=params,
     )
 
