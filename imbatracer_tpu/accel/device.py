@@ -25,6 +25,8 @@ from typing import Optional
 class DeviceBvh:
     nodes64: jnp.ndarray     # (N, 64) f32 fused node+leaf record
     nodes64o: Optional[jnp.ndarray]  # (8N, 64) octant-ordered (None if huge)
+    cbox: jnp.ndarray        # (C, 8) chunk bboxes (Pallas kernel)
+    tris12: jnp.ndarray      # (C*16, 12) chunk-ordered triangles
     nodes16: jnp.ndarray     # (N, 16) f32 wide node record
     leaf48: jnp.ndarray      # (L, 48) f32 wide leaf record
     node_min: jnp.ndarray    # (N, 3) f32
@@ -42,6 +44,8 @@ class DeviceBvh:
         return DeviceBvh(
             nodes64=jnp.asarray(t.nodes64),
             nodes64o=None if t.nodes64o is None else jnp.asarray(t.nodes64o),
+            cbox=jnp.asarray(t.cbox),
+            tris12=jnp.asarray(t.tris12),
             nodes16=jnp.asarray(t.nodes16),
             leaf48=jnp.asarray(t.leaf48),
             node_min=jnp.asarray(t.node_min),

@@ -54,6 +54,8 @@ class ThreadedBvh:
 
     nodes64: np.ndarray       # (N, 64) f32 fused node+leaf record
     nodes64o: np.ndarray | None  # (8N, 64) octant-ordered records (or None)
+    cbox: np.ndarray          # (C, 8) chunk bboxes for the Pallas kernel
+    tris12: np.ndarray        # (C*16, 12) chunk-ordered triangle records
     nodes16: np.ndarray       # (N, 16) f32 wide record (see above)
     leaf48: np.ndarray        # (L, 48) f32 wide record
     node_min: np.ndarray      # (N, 3) f32
@@ -89,6 +91,39 @@ def pack_records(node_min, node_max, hit_link, miss_link, leaf_start,
         leaf48[:num_leaves, base + 6 : base + 9] = tri_e2[j::LEAF_WIDTH]
         leaf48[:num_leaves, base + 9] = tri_id[j::LEAF_WIDTH].astype(np.int32).view(np.float32)
     return nodes16, leaf48
+
+
+CHUNK = 16
+
+
+def pack_chunks(tri_v0, tri_e1, tri_e2, tri_id):
+    """Chunked arrays for the Pallas block-culling kernel
+    (ops/pallas_chunked.py): triangles stay in BVH-leaf (DFS) order, so
+    chunks are spatially coherent; each chunk gets a bbox."""
+    num_t = tri_v0.shape[0]
+    pad = (-num_t) % CHUNK
+    v0 = np.concatenate([tri_v0, np.full((pad, 3), 1e30, np.float32)]) if pad else tri_v0
+    e1 = np.concatenate([tri_e1, np.zeros((pad, 3), np.float32)]) if pad else tri_e1
+    e2 = np.concatenate([tri_e2, np.zeros((pad, 3), np.float32)]) if pad else tri_e2
+    tid = (np.concatenate([tri_id, np.full(pad, -1, np.int32)]) if pad else tri_id)
+    total = v0.shape[0]
+    tris12 = np.zeros((total, 12), np.float32)
+    tris12[:, 0:3] = v0
+    tris12[:, 3:6] = e1
+    tris12[:, 6:9] = e2
+    tris12[:, 9] = tid.astype(np.float32)
+
+    num_c = total // CHUNK
+    va, vb, vc = v0, v0 + e1, v0 + e2
+    lo = np.minimum(np.minimum(va, vb), vc).reshape(num_c, CHUNK, 3)
+    hi = np.maximum(np.maximum(va, vb), vc).reshape(num_c, CHUNK, 3)
+    valid = (tid >= 0).reshape(num_c, CHUNK, 1)
+    lo = np.where(valid, lo, 1e30).min(axis=1)
+    hi = np.where(valid, hi, -1e30).max(axis=1)
+    cbox = np.zeros((num_c, 8), np.float32)
+    cbox[:, 0:3] = lo
+    cbox[:, 3:6] = hi
+    return cbox, tris12
 
 
 def pack_nodes64(nodes16, leaf48):
@@ -162,9 +197,12 @@ def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) 
     nodes64o = (
         thread_bvh_octants(nodes, nodes64) if n <= OCTANT_MAX_NODES else None
     )
+    cbox, tris12 = pack_chunks(pv0, pv1 - pv0, pv2 - pv0, packets.astype(np.int32))
     return ThreadedBvh(
         nodes64=nodes64,
         nodes64o=nodes64o,
+        cbox=cbox,
+        tris12=tris12,
         nodes16=nodes16,
         leaf48=leaf48,
         node_min=nodes.bbox_min,

@@ -68,11 +68,18 @@ def traversal_steps(meta) -> int:
     leaves = stats.get("leaves", 0)
     from ..render.traverse import DENSE_MAX_TRIS, LEAF_WIDTH
 
-    # Dense mode is a TPU countermeasure (gathers are near-serial there);
-    # on CPU the unrolled form only bloats XLA compile time, and the
-    # looped BVH is already fast.
-    if jax.default_backend() == "tpu" and 0 < leaves * LEAF_WIDTH <= DENSE_MAX_TRIS:
-        return -1
+    # Dense / chunked Pallas modes are TPU countermeasures (gathers are
+    # near-serial and XLA While bodies run the packet math ~100x slower
+    # than flat kernels, both measured); on CPU the looped BVH is fine and
+    # the unrolled forms only bloat compile time.
+    if jax.default_backend() == "tpu":
+        packed = leaves * LEAF_WIDTH
+        if 0 < packed <= DENSE_MAX_TRIS:
+            return -1
+        # Chunked Pallas kernel: triangles must fit VMEM (~150k) and the
+        # kernel has no alpha-mask hook yet.
+        if 0 < packed <= 150_000 and not getattr(meta, "has_masks", False):
+            return -2
     return int(min(max(nodes, 1), max(64, 8 * depth)))
 
 

@@ -1,0 +1,339 @@
+"""Pallas TPU kernel: chunked ray/triangle intersection with block-level
+bounding-box culling — the mid-scene traversal path.
+
+Motivation (measured): the XLA threaded-BVH loop costs ~9 ms per step at
+262k rays (the per-step MT packet work runs ~100x slower inside a While
+body than the same math in a flat kernel), while flat dense testing runs
+at ~13 Gtests/s but scales linearly with triangle count.  This kernel
+keeps the dense kernel's flat structure and adds hierarchy back as
+*chunk culling*: triangles are grouped into spatially-coherent chunks
+(BVH leaf order), each with a bounding box; a ray block tests the chunk
+bbox first and skips the whole 16-triangle chunk via `pl.when` when no
+ray in the block can hit it.  Rays in a block are image-coherent, so
+primary/shadow blocks touch a small fraction of chunks.
+
+Data: rays transposed (8, R) [ox oy oz tmin dx dy dz tmax]; chunks
+(C, 8) [min.xyz, max.xyz, pad2]; triangles (C*16, 12) in chunk order
+[v0 e1 e2 id_float pad2].  Output (8, R) [t u v id 0...].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 512
+CHUNK = 16
+BIG = 1e30
+
+
+def _chunk_kernel(rays_ref, cbox_ref, tris_ref, out_ref, best_ref):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    tmin = rays_ref[3:4, :]
+    dx = rays_ref[4:5, :]
+    dy = rays_ref[5:6, :]
+    dz = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+
+    sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
+    ix = sgn(dx) / jnp.maximum(jnp.abs(dx), 1e-12)
+    iy = sgn(dy) / jnp.maximum(jnp.abs(dy), 1e-12)
+    iz = sgn(dz) / jnp.maximum(jnp.abs(dz), 1e-12)
+
+    best_ref[0:1, :] = tmax
+    best_ref[1:2, :] = jnp.zeros_like(ox)
+    best_ref[2:3, :] = jnp.zeros_like(ox)
+    best_ref[3:4, :] = jnp.full_like(ox, -1.0)
+
+    num_chunks = cbox_ref.shape[0]
+
+    def chunk_body(c, _):
+        bb = cbox_ref[pl.ds(c, 1), :]          # (1, 8)
+        best_t = best_ref[0:1, :]
+        tx0 = (bb[0, 0] - ox) * ix
+        tx1 = (bb[0, 3] - ox) * ix
+        ty0 = (bb[0, 1] - oy) * iy
+        ty1 = (bb[0, 4] - oy) * iy
+        tz0 = (bb[0, 2] - oz) * iz
+        tz1 = (bb[0, 5] - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        hit_box = (tn <= tf) & (tf >= tmin) & (tn <= best_t)
+
+        @pl.when(jnp.any(hit_box))
+        def _():
+            rows = tris_ref[pl.ds(c * CHUNK, CHUNK), :]     # (CHUNK, 12)
+            v0x = rows[:, 0:1]
+            v0y = rows[:, 1:2]
+            v0z = rows[:, 2:3]
+            e1x = rows[:, 3:4]
+            e1y = rows[:, 4:5]
+            e1z = rows[:, 5:6]
+            e2x = rows[:, 6:7]
+            e2y = rows[:, 7:8]
+            e2z = rows[:, 8:9]
+            tid = rows[:, 9:10]
+
+            # Broadcast MT over (CHUNK, BLK).
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            best_t_in = best_ref[0:1, :]
+            ok = (
+                (inv_det != 0.0)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > tmin)
+                & (t < best_t_in)
+                & (tid >= 0.0)
+            )
+            t = jnp.where(ok, t, BIG)
+            t_min = jnp.min(t, axis=0, keepdims=True)         # (1, BLK)
+            improved = t_min < best_t_in
+            sel = t == t_min                                   # ties: rare
+            pick = lambda a: jnp.max(jnp.where(sel, a, -BIG), axis=0, keepdims=True)
+            best_ref[0:1, :] = jnp.where(improved, t_min, best_t_in)
+            best_ref[1:2, :] = jnp.where(improved, pick(u), best_ref[1:2, :])
+            best_ref[2:3, :] = jnp.where(improved, pick(v), best_ref[2:3, :])
+            best_ref[3:4, :] = jnp.where(improved, pick(tid * jnp.ones_like(u)),
+                                         best_ref[3:4, :])
+
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+    zeros = jnp.zeros_like(ox)
+    out_ref[:, :] = jnp.concatenate(
+        [best_ref[0:1, :], best_ref[1:2, :], best_ref[2:3, :], best_ref[3:4, :],
+         zeros, zeros, zeros, zeros], axis=0
+    )
+
+
+@jax.jit
+def pallas_chunked_intersect(rays8t, cbox, tris12):
+    """rays8t: (8, R); cbox: (C, 8); tris12: (C*16, 12).  R % BLK == 0."""
+    num_r = rays8t.shape[1]
+    return pl.pallas_call(
+        _chunk_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, num_r), jnp.float32),
+        grid=(num_r // BLK,),
+        in_specs=[
+            pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (cbox.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tris12.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((4, BLK), jnp.float32)],
+    )(rays8t, cbox, tris12)
+
+
+def _occl_kernel(rays_ref, cbox_ref, tris_ref, out_ref, occ_ref):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    tmin = rays_ref[3:4, :]
+    dx = rays_ref[4:5, :]
+    dy = rays_ref[5:6, :]
+    dz = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+
+    sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
+    ix = sgn(dx) / jnp.maximum(jnp.abs(dx), 1e-12)
+    iy = sgn(dy) / jnp.maximum(jnp.abs(dy), 1e-12)
+    iz = sgn(dz) / jnp.maximum(jnp.abs(dz), 1e-12)
+
+    occ_ref[0:1, :] = jnp.zeros_like(ox)
+    num_chunks = cbox_ref.shape[0]
+
+    def chunk_body(c, _):
+        bb = cbox_ref[pl.ds(c, 1), :]
+        occluded = occ_ref[0:1, :] > 0.0
+        tx0 = (bb[0, 0] - ox) * ix
+        tx1 = (bb[0, 3] - ox) * ix
+        ty0 = (bb[0, 1] - oy) * iy
+        ty1 = (bb[0, 4] - oy) * iy
+        tz0 = (bb[0, 2] - oz) * iz
+        tz1 = (bb[0, 5] - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        hit_box = (tn <= tf) & (tf >= tmin) & (tn <= tmax) & ~occluded
+
+        @pl.when(jnp.any(hit_box))
+        def _():
+            rows = tris_ref[pl.ds(c * CHUNK, CHUNK), :]
+            v0x = rows[:, 0:1]
+            v0y = rows[:, 1:2]
+            v0z = rows[:, 2:3]
+            e1x = rows[:, 3:4]
+            e1y = rows[:, 4:5]
+            e1z = rows[:, 5:6]
+            e2x = rows[:, 6:7]
+            e2y = rows[:, 7:8]
+            e2z = rows[:, 8:9]
+            tid = rows[:, 9:10]
+
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (
+                (inv_det != 0.0)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > tmin)
+                & (t < tmax)
+                & (tid >= 0.0)
+            )
+            found = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0, keepdims=True)
+            occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], found)
+
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    zeros = jnp.zeros_like(ox)
+    out_ref[:, :] = jnp.concatenate(
+        [occ_ref[0:1, :]] + [zeros] * 7, axis=0
+    )
+
+
+@jax.jit
+def pallas_chunked_occluded(rays8t, cbox, tris12):
+    num_r = rays8t.shape[1]
+    return pl.pallas_call(
+        _occl_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, num_r), jnp.float32),
+        grid=(num_r // BLK,),
+        in_specs=[
+            pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cbox.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tris12.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, BLK), jnp.float32)],
+    )(rays8t, cbox, tris12)
+
+
+def _rays8t(org, d, tmin, tmax):
+    num_r = org.shape[0]
+    pad = (-num_r) % BLK
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
+    rays8t = jnp.stack(
+        [org[:, 0], org[:, 1], org[:, 2], tmin_b,
+         d[:, 0], d[:, 1], d[:, 2], tmax_b], axis=0
+    )
+    if pad:
+        rays8t = jnp.concatenate([rays8t, jnp.zeros((8, pad), jnp.float32)], axis=1)
+    return rays8t, num_r
+
+
+def any_hit_chunked(cbox, tris12, org, d, tmin, tmax, active=None):
+    rays8t, num_r = _rays8t(org, d, tmin, tmax)
+    if active is not None:
+        # Inactive lanes: degenerate interval so nothing hits.
+        act = jnp.concatenate(
+            [active, jnp.zeros(rays8t.shape[1] - num_r, jnp.bool_)]
+        )
+        rays8t = rays8t.at[7, :].set(jnp.where(act, rays8t[7, :], -1.0))
+    out = pallas_chunked_occluded(rays8t, cbox, tris12)[:, :num_r]
+    return out[0] > 0.0
+
+
+def make_chunks(bvh):
+    """Host-side: chunked triangle arrays from DeviceBvh's packed leaf
+    order (DFS order => spatial coherence)."""
+    v0 = np.asarray(bvh.tri_v0)
+    e1 = np.asarray(bvh.tri_e1)
+    e2 = np.asarray(bvh.tri_e2)
+    tid = np.asarray(bvh.tri_id).astype(np.float32)
+    num_t = v0.shape[0]
+    pad = (-num_t) % CHUNK
+    if pad:
+        v0 = np.concatenate([v0, np.full((pad, 3), 1e30, np.float32)])
+        e1 = np.concatenate([e1, np.zeros((pad, 3), np.float32)])
+        e2 = np.concatenate([e2, np.zeros((pad, 3), np.float32)])
+        tid = np.concatenate([tid, np.full(pad, -1.0, np.float32)])
+    total = v0.shape[0]
+    tris12 = np.zeros((total, 12), np.float32)
+    tris12[:, 0:3] = v0
+    tris12[:, 3:6] = e1
+    tris12[:, 6:9] = e2
+    tris12[:, 9] = tid
+
+    num_c = total // CHUNK
+    # Chunk bboxes over real (id >= 0) triangles only.
+    va = v0
+    vb = v0 + e1
+    vc = v0 + e2
+    lo = np.minimum(np.minimum(va, vb), vc).reshape(num_c, CHUNK, 3)
+    hi = np.maximum(np.maximum(va, vb), vc).reshape(num_c, CHUNK, 3)
+    valid = (tid >= 0).reshape(num_c, CHUNK, 1)
+    lo = np.where(valid, lo, 1e30).min(axis=1)
+    hi = np.where(valid, hi, -1e30).max(axis=1)
+    cbox = np.zeros((num_c, 8), np.float32)
+    cbox[:, 0:3] = lo
+    cbox[:, 3:6] = hi
+    return jnp.asarray(cbox), jnp.asarray(tris12)
+
+
+def closest_hit_chunked(cbox, tris12, org, d, tmin, tmax, active=None):
+    """Drop-in closest hit (Hit tuple); pads R to BLK internally."""
+    from ..render.traverse import Hit
+
+    rays8t, num_r = _rays8t(org, d, tmin, tmax)
+    if active is not None:
+        act = jnp.concatenate(
+            [active, jnp.zeros(rays8t.shape[1] - num_r, jnp.bool_)]
+        )
+        rays8t = rays8t.at[7, :].set(jnp.where(act, rays8t[7, :], -1.0))
+    out = pallas_chunked_intersect(rays8t, cbox, tris12)[:, :num_r]
+    t = out[0]
+    prim_id = out[3].astype(jnp.int32)
+    t = jnp.where(prim_id >= 0, t, BIG)
+    return Hit(t=t, prim_id=prim_id, u=out[1], v=out[2])

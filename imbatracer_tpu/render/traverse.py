@@ -257,6 +257,11 @@ def closest_hit(
     """
     if max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, True)
+    if max_steps == -2:
+        from ..ops.pallas_chunked import closest_hit_chunked
+
+        return closest_hit_chunked(bvh.cbox, bvh.tris12, org, d, tmin, tmax,
+                                   active=active)
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
@@ -317,6 +322,11 @@ def any_hit(
     """
     if max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, False)
+    if max_steps == -2:
+        from ..ops.pallas_chunked import any_hit_chunked
+
+        return any_hit_chunked(bvh.cbox, bvh.tris12, org, d, tmin, tmax,
+                               active=active)
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
