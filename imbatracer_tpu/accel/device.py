@@ -25,6 +25,7 @@ from typing import Optional
 class DeviceBvh:
     nodes64: jnp.ndarray     # (N, 64) f32 fused node+leaf record
     nodes64o: Optional[jnp.ndarray]  # (8N, 64) octant-ordered (None if huge)
+    sbox: jnp.ndarray        # (S, 8) super-chunk bboxes (Pallas kernel)
     cbox: jnp.ndarray        # (C, 8) chunk bboxes (Pallas kernel)
     tris12: jnp.ndarray      # (C*16, 12) chunk-ordered triangles
     nodes16: jnp.ndarray     # (N, 16) f32 wide node record
@@ -44,6 +45,7 @@ class DeviceBvh:
         return DeviceBvh(
             nodes64=jnp.asarray(t.nodes64),
             nodes64o=None if t.nodes64o is None else jnp.asarray(t.nodes64o),
+            sbox=jnp.asarray(t.sbox),
             cbox=jnp.asarray(t.cbox),
             tris12=jnp.asarray(t.tris12),
             nodes16=jnp.asarray(t.nodes16),

@@ -54,6 +54,7 @@ class ThreadedBvh:
 
     nodes64: np.ndarray       # (N, 64) f32 fused node+leaf record
     nodes64o: np.ndarray | None  # (8N, 64) octant-ordered records (or None)
+    sbox: np.ndarray          # (S, 8) super-chunk bboxes (Pallas kernel)
     cbox: np.ndarray          # (C, 8) chunk bboxes for the Pallas kernel
     tris12: np.ndarray        # (C*16, 12) chunk-ordered triangle records
     nodes16: np.ndarray       # (N, 16) f32 wide record (see above)
@@ -94,14 +95,16 @@ def pack_records(node_min, node_max, hit_link, miss_link, leaf_start,
 
 
 CHUNK = 16
+SUPER = 64
 
 
 def pack_chunks(tri_v0, tri_e1, tri_e2, tri_id):
-    """Chunked arrays for the Pallas block-culling kernel
+    """Chunked arrays for the two-level Pallas block-culling kernel
     (ops/pallas_chunked.py): triangles stay in BVH-leaf (DFS) order, so
-    chunks are spatially coherent; each chunk gets a bbox."""
+    chunks are spatially coherent; each 16-tri chunk gets a bbox, every
+    64 chunks get a super-chunk bbox.  Returns (sbox, cbox, tris12)."""
     num_t = tri_v0.shape[0]
-    pad = (-num_t) % CHUNK
+    pad = (-num_t) % (CHUNK * SUPER)
     v0 = np.concatenate([tri_v0, np.full((pad, 3), 1e30, np.float32)]) if pad else tri_v0
     e1 = np.concatenate([tri_e1, np.zeros((pad, 3), np.float32)]) if pad else tri_e1
     e2 = np.concatenate([tri_e2, np.zeros((pad, 3), np.float32)]) if pad else tri_e2
@@ -123,7 +126,14 @@ def pack_chunks(tri_v0, tri_e1, tri_e2, tri_id):
     cbox = np.zeros((num_c, 8), np.float32)
     cbox[:, 0:3] = lo
     cbox[:, 3:6] = hi
-    return cbox, tris12
+
+    num_s = num_c // SUPER
+    slo = lo.reshape(num_s, SUPER, 3).min(axis=1)
+    shi = hi.reshape(num_s, SUPER, 3).max(axis=1)
+    sbox = np.zeros((num_s, 8), np.float32)
+    sbox[:, 0:3] = slo
+    sbox[:, 3:6] = shi
+    return sbox, cbox, tris12
 
 
 def pack_nodes64(nodes16, leaf48):
@@ -197,10 +207,11 @@ def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) 
     nodes64o = (
         thread_bvh_octants(nodes, nodes64) if n <= OCTANT_MAX_NODES else None
     )
-    cbox, tris12 = pack_chunks(pv0, pv1 - pv0, pv2 - pv0, packets.astype(np.int32))
+    sbox, cbox, tris12 = pack_chunks(pv0, pv1 - pv0, pv2 - pv0, packets.astype(np.int32))
     return ThreadedBvh(
         nodes64=nodes64,
         nodes64o=nodes64o,
+        sbox=sbox,
         cbox=cbox,
         tris12=tris12,
         nodes16=nodes16,

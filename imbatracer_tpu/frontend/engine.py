@@ -76,9 +76,11 @@ def traversal_steps(meta) -> int:
         packed = leaves * LEAF_WIDTH
         if 0 < packed <= DENSE_MAX_TRIS:
             return -1
-        # Chunked Pallas kernel: triangles must fit VMEM (~150k) and the
-        # kernel has no alpha-mask hook yet.
-        if 0 < packed <= 150_000 and not getattr(meta, "has_masks", False):
+        # Chunked Pallas kernel: triangle records must fit VMEM with
+        # Mosaic's buffering headroom (80k x 48 B ~ 3.8 MB; 220k compiles
+        # but faults at runtime -- likely double-buffered), and the kernel
+        # has no alpha-mask hook yet.
+        if 0 < packed <= 80_000 and not getattr(meta, "has_masks", False):
             return -2
     return int(min(max(nodes, 1), max(64, 8 * depth)))
 

@@ -29,10 +29,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLK = 512
 CHUNK = 16
+SUPER = 64          # chunks per super-chunk (2nd culling level)
 BIG = 1e30
 
 
-def _chunk_kernel(rays_ref, cbox_ref, tris_ref, out_ref, best_ref):
+def _slab(bb, ox, oy, oz, ix, iy, iz):
+    tx0 = (bb[0, 0] - ox) * ix
+    tx1 = (bb[0, 3] - ox) * ix
+    ty0 = (bb[0, 1] - oy) * iy
+    ty1 = (bb[0, 4] - oy) * iy
+    tz0 = (bb[0, 2] - oz) * iz
+    tz1 = (bb[0, 5] - oz) * iz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.minimum(tz0, tz1),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.maximum(tz0, tz1),
+    )
+    return tn, tf
+
+
+def _chunk_kernel(rays_ref, sbox_ref, cbox_ref, tris_ref, out_ref, best_ref):
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -52,80 +71,81 @@ def _chunk_kernel(rays_ref, cbox_ref, tris_ref, out_ref, best_ref):
     best_ref[2:3, :] = jnp.zeros_like(ox)
     best_ref[3:4, :] = jnp.full_like(ox, -1.0)
 
-    num_chunks = cbox_ref.shape[0]
+    num_super = sbox_ref.shape[0]
 
-    def chunk_body(c, _):
-        bb = cbox_ref[pl.ds(c, 1), :]          # (1, 8)
-        best_t = best_ref[0:1, :]
-        tx0 = (bb[0, 0] - ox) * ix
-        tx1 = (bb[0, 3] - ox) * ix
-        ty0 = (bb[0, 1] - oy) * iy
-        ty1 = (bb[0, 4] - oy) * iy
-        tz0 = (bb[0, 2] - oz) * iz
-        tz1 = (bb[0, 5] - oz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        hit_box = (tn <= tf) & (tf >= tmin) & (tn <= best_t)
+    def super_body(sc, _):
+        sb = sbox_ref[pl.ds(sc, 1), :]
+        stn, stf = _slab(sb, ox, oy, oz, ix, iy, iz)
+        s_hit = (stn <= stf) & (stf >= tmin) & (stn <= best_ref[0:1, :])
 
-        @pl.when(jnp.any(hit_box))
+        @pl.when(jnp.any(s_hit))
         def _():
-            rows = tris_ref[pl.ds(c * CHUNK, CHUNK), :]     # (CHUNK, 12)
-            v0x = rows[:, 0:1]
-            v0y = rows[:, 1:2]
-            v0z = rows[:, 2:3]
-            e1x = rows[:, 3:4]
-            e1y = rows[:, 4:5]
-            e1z = rows[:, 5:6]
-            e2x = rows[:, 6:7]
-            e2y = rows[:, 7:8]
-            e2z = rows[:, 8:9]
-            tid = rows[:, 9:10]
+            def chunk_body(c, _):
+                bb = cbox_ref[pl.ds(c, 1), :]          # (1, 8)
+                best_t = best_ref[0:1, :]
+                tn, tf = _slab(bb, ox, oy, oz, ix, iy, iz)
+                hit_box = (tn <= tf) & (tf >= tmin) & (tn <= best_t)
 
-            # Broadcast MT over (CHUNK, BLK).
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            best_t_in = best_ref[0:1, :]
-            ok = (
-                (inv_det != 0.0)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > tmin)
-                & (t < best_t_in)
-                & (tid >= 0.0)
-            )
-            t = jnp.where(ok, t, BIG)
-            t_min = jnp.min(t, axis=0, keepdims=True)         # (1, BLK)
-            improved = t_min < best_t_in
-            sel = t == t_min                                   # ties: rare
-            pick = lambda a: jnp.max(jnp.where(sel, a, -BIG), axis=0, keepdims=True)
-            best_ref[0:1, :] = jnp.where(improved, t_min, best_t_in)
-            best_ref[1:2, :] = jnp.where(improved, pick(u), best_ref[1:2, :])
-            best_ref[2:3, :] = jnp.where(improved, pick(v), best_ref[2:3, :])
-            best_ref[3:4, :] = jnp.where(improved, pick(tid * jnp.ones_like(u)),
-                                         best_ref[3:4, :])
+                @pl.when(jnp.any(hit_box))
+                def _():
+                    rows = tris_ref[pl.ds(c * CHUNK, CHUNK), :]   # (CHUNK, 12)
+                    v0x = rows[:, 0:1]
+                    v0y = rows[:, 1:2]
+                    v0z = rows[:, 2:3]
+                    e1x = rows[:, 3:4]
+                    e1y = rows[:, 4:5]
+                    e1z = rows[:, 5:6]
+                    e2x = rows[:, 6:7]
+                    e2y = rows[:, 7:8]
+                    e2z = rows[:, 8:9]
+                    tid = rows[:, 9:10]
+
+                    # Broadcast MT over (CHUNK, BLK).
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    best_t_in = best_ref[0:1, :]
+                    ok = (
+                        (inv_det != 0.0)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t > tmin)
+                        & (t < best_t_in)
+                        & (tid >= 0.0)
+                    )
+                    t = jnp.where(ok, t, BIG)
+                    t_min = jnp.min(t, axis=0, keepdims=True)   # (1, BLK)
+                    improved = t_min < best_t_in
+                    sel = t == t_min                             # ties: rare
+                    pick = lambda a: jnp.max(
+                        jnp.where(sel, a, -BIG), axis=0, keepdims=True
+                    )
+                    best_ref[0:1, :] = jnp.where(improved, t_min, best_t_in)
+                    best_ref[1:2, :] = jnp.where(improved, pick(u), best_ref[1:2, :])
+                    best_ref[2:3, :] = jnp.where(improved, pick(v), best_ref[2:3, :])
+                    best_ref[3:4, :] = jnp.where(
+                        improved, pick(tid * jnp.ones_like(u)), best_ref[3:4, :]
+                    )
+
+                return 0
+
+            jax.lax.fori_loop(sc * SUPER, (sc + 1) * SUPER, chunk_body, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, num_super, super_body, 0)
 
     zeros = jnp.zeros_like(ox)
     out_ref[:, :] = jnp.concatenate(
@@ -135,8 +155,8 @@ def _chunk_kernel(rays_ref, cbox_ref, tris_ref, out_ref, best_ref):
 
 
 @jax.jit
-def pallas_chunked_intersect(rays8t, cbox, tris12):
-    """rays8t: (8, R); cbox: (C, 8); tris12: (C*16, 12).  R % BLK == 0."""
+def pallas_chunked_intersect(rays8t, sbox, cbox, tris12):
+    """rays8t: (8, R); sbox: (S, 8); cbox: (S*64, 8); tris12: (S*64*16, 12)."""
     num_r = rays8t.shape[1]
     return pl.pallas_call(
         _chunk_kernel,
@@ -144,6 +164,9 @@ def pallas_chunked_intersect(rays8t, cbox, tris12):
         grid=(num_r // BLK,),
         in_specs=[
             pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (sbox.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (cbox.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -153,10 +176,10 @@ def pallas_chunked_intersect(rays8t, cbox, tris12):
         ],
         out_specs=pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((4, BLK), jnp.float32)],
-    )(rays8t, cbox, tris12)
+    )(rays8t, sbox, cbox, tris12)
 
 
-def _occl_kernel(rays_ref, cbox_ref, tris_ref, out_ref, occ_ref):
+def _occl_kernel(rays_ref, sbox_ref, cbox_ref, tris_ref, out_ref, occ_ref):
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -172,70 +195,69 @@ def _occl_kernel(rays_ref, cbox_ref, tris_ref, out_ref, occ_ref):
     iz = sgn(dz) / jnp.maximum(jnp.abs(dz), 1e-12)
 
     occ_ref[0:1, :] = jnp.zeros_like(ox)
-    num_chunks = cbox_ref.shape[0]
+    num_super = sbox_ref.shape[0]
 
-    def chunk_body(c, _):
-        bb = cbox_ref[pl.ds(c, 1), :]
-        occluded = occ_ref[0:1, :] > 0.0
-        tx0 = (bb[0, 0] - ox) * ix
-        tx1 = (bb[0, 3] - ox) * ix
-        ty0 = (bb[0, 1] - oy) * iy
-        ty1 = (bb[0, 4] - oy) * iy
-        tz0 = (bb[0, 2] - oz) * iz
-        tz1 = (bb[0, 5] - oz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        hit_box = (tn <= tf) & (tf >= tmin) & (tn <= tmax) & ~occluded
+    def super_body(sc, _):
+        sb = sbox_ref[pl.ds(sc, 1), :]
+        stn, stf = _slab(sb, ox, oy, oz, ix, iy, iz)
+        not_occ = ~(occ_ref[0:1, :] > 0.0)
+        s_hit = (stn <= stf) & (stf >= tmin) & (stn <= tmax) & not_occ
 
-        @pl.when(jnp.any(hit_box))
+        @pl.when(jnp.any(s_hit))
         def _():
-            rows = tris_ref[pl.ds(c * CHUNK, CHUNK), :]
-            v0x = rows[:, 0:1]
-            v0y = rows[:, 1:2]
-            v0z = rows[:, 2:3]
-            e1x = rows[:, 3:4]
-            e1y = rows[:, 4:5]
-            e1z = rows[:, 5:6]
-            e2x = rows[:, 6:7]
-            e2y = rows[:, 7:8]
-            e2z = rows[:, 8:9]
-            tid = rows[:, 9:10]
+            def chunk_body(c, _):
+                bb = cbox_ref[pl.ds(c, 1), :]
+                occluded = occ_ref[0:1, :] > 0.0
+                tn, tf = _slab(bb, ox, oy, oz, ix, iy, iz)
+                hit_box = (tn <= tf) & (tf >= tmin) & (tn <= tmax) & ~occluded
 
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (
-                (inv_det != 0.0)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > tmin)
-                & (t < tmax)
-                & (tid >= 0.0)
-            )
-            found = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0, keepdims=True)
-            occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], found)
+                @pl.when(jnp.any(hit_box))
+                def _():
+                    rows = tris_ref[pl.ds(c * CHUNK, CHUNK), :]
+                    v0x = rows[:, 0:1]
+                    v0y = rows[:, 1:2]
+                    v0z = rows[:, 2:3]
+                    e1x = rows[:, 3:4]
+                    e1y = rows[:, 4:5]
+                    e1z = rows[:, 5:6]
+                    e2x = rows[:, 6:7]
+                    e2y = rows[:, 7:8]
+                    e2z = rows[:, 8:9]
+                    tid = rows[:, 9:10]
+
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (inv_det != 0.0)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t > tmin)
+                        & (t < tmax)
+                        & (tid >= 0.0)
+                    )
+                    found = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0, keepdims=True)
+                    occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], found)
+
+                return 0
+
+            jax.lax.fori_loop(sc * SUPER, (sc + 1) * SUPER, chunk_body, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, num_super, super_body, 0)
     zeros = jnp.zeros_like(ox)
     out_ref[:, :] = jnp.concatenate(
         [occ_ref[0:1, :]] + [zeros] * 7, axis=0
@@ -243,7 +265,7 @@ def _occl_kernel(rays_ref, cbox_ref, tris_ref, out_ref, occ_ref):
 
 
 @jax.jit
-def pallas_chunked_occluded(rays8t, cbox, tris12):
+def pallas_chunked_occluded(rays8t, sbox, cbox, tris12):
     num_r = rays8t.shape[1]
     return pl.pallas_call(
         _occl_kernel,
@@ -251,12 +273,13 @@ def pallas_chunked_occluded(rays8t, cbox, tris12):
         grid=(num_r // BLK,),
         in_specs=[
             pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbox.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((cbox.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tris12.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, BLK), jnp.float32)],
-    )(rays8t, cbox, tris12)
+    )(rays8t, sbox, cbox, tris12)
 
 
 def _rays8t(org, d, tmin, tmax):
@@ -273,7 +296,7 @@ def _rays8t(org, d, tmin, tmax):
     return rays8t, num_r
 
 
-def any_hit_chunked(cbox, tris12, org, d, tmin, tmax, active=None):
+def any_hit_chunked(sbox, cbox, tris12, org, d, tmin, tmax, active=None):
     rays8t, num_r = _rays8t(org, d, tmin, tmax)
     if active is not None:
         # Inactive lanes: degenerate interval so nothing hits.
@@ -281,7 +304,7 @@ def any_hit_chunked(cbox, tris12, org, d, tmin, tmax, active=None):
             [active, jnp.zeros(rays8t.shape[1] - num_r, jnp.bool_)]
         )
         rays8t = rays8t.at[7, :].set(jnp.where(act, rays8t[7, :], -1.0))
-    out = pallas_chunked_occluded(rays8t, cbox, tris12)[:, :num_r]
+    out = pallas_chunked_occluded(rays8t, sbox, cbox, tris12)[:, :num_r]
     return out[0] > 0.0
 
 
@@ -322,7 +345,7 @@ def make_chunks(bvh):
     return jnp.asarray(cbox), jnp.asarray(tris12)
 
 
-def closest_hit_chunked(cbox, tris12, org, d, tmin, tmax, active=None):
+def closest_hit_chunked(sbox, cbox, tris12, org, d, tmin, tmax, active=None):
     """Drop-in closest hit (Hit tuple); pads R to BLK internally."""
     from ..render.traverse import Hit
 
@@ -332,7 +355,7 @@ def closest_hit_chunked(cbox, tris12, org, d, tmin, tmax, active=None):
             [active, jnp.zeros(rays8t.shape[1] - num_r, jnp.bool_)]
         )
         rays8t = rays8t.at[7, :].set(jnp.where(act, rays8t[7, :], -1.0))
-    out = pallas_chunked_intersect(rays8t, cbox, tris12)[:, :num_r]
+    out = pallas_chunked_intersect(rays8t, sbox, cbox, tris12)[:, :num_r]
     t = out[0]
     prim_id = out[3].astype(jnp.int32)
     t = jnp.where(prim_id >= 0, t, BIG)

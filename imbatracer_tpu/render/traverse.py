@@ -260,8 +260,8 @@ def closest_hit(
     if max_steps == -2:
         from ..ops.pallas_chunked import closest_hit_chunked
 
-        return closest_hit_chunked(bvh.cbox, bvh.tris12, org, d, tmin, tmax,
-                                   active=active)
+        return closest_hit_chunked(bvh.sbox, bvh.cbox, bvh.tris12, org, d,
+                                   tmin, tmax, active=active)
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
@@ -325,8 +325,8 @@ def any_hit(
     if max_steps == -2:
         from ..ops.pallas_chunked import any_hit_chunked
 
-        return any_hit_chunked(bvh.cbox, bvh.tris12, org, d, tmin, tmax,
-                               active=active)
+        return any_hit_chunked(bvh.sbox, bvh.cbox, bvh.tris12, org, d, tmin,
+                               tmax, active=active)
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )

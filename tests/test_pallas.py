@@ -70,7 +70,8 @@ def test_chunked_kernel_matches_bvh():
         active = jnp.asarray(rs.rand(n) < 0.8)
 
         hp = pc.closest_hit_chunked(
-            scene.bvh.cbox, scene.bvh.tris12, org, d, 0.0, BIG, active=active
+            scene.bvh.sbox, scene.bvh.cbox, scene.bvh.tris12, org, d, 0.0,
+            BIG, active=active,
         )
         hx = closest_hit(scene.bvh, org, d, 0.0, BIG, active=active)
         np.testing.assert_array_equal(np.asarray(hp.prim_id), np.asarray(hx.prim_id))
@@ -80,7 +81,7 @@ def test_chunked_kernel_matches_bvh():
         from imbatracer_tpu.render.traverse import any_hit
 
         occ_p = pc.any_hit_chunked(
-            scene.bvh.cbox, scene.bvh.tris12, org, d, 0.0,
+            scene.bvh.sbox, scene.bvh.cbox, scene.bvh.tris12, org, d, 0.0,
             jnp.full((n,), 2.0), active=active,
         )
         occ_x = any_hit(scene.bvh, org, d, 0.0, jnp.full((n,), 2.0), active=active)
