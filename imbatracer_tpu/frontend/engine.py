@@ -96,7 +96,8 @@ def make_frame_fn(scene, meta, settings: RenderSettings):
             return render_pt_frame(
                 scene, cam, frame, settings.width, settings.height,
                 spp=settings.spp, max_len=settings.max_path_len,
-                has_masks=meta.has_masks, has_bump=False,
+                has_masks=meta.has_masks,
+                has_bump=getattr(meta, "has_bump", False),
                 max_steps=max_steps,
             )
         return frame_fn, cam
@@ -122,7 +123,8 @@ def make_frame_fn(scene, meta, settings: RenderSettings):
             light_path_count=lpc,
             num_connections=settings.num_connections,
             num_knn=settings.num_knn,
-            has_masks=meta.has_masks, has_bump=False,
+            has_masks=meta.has_masks,
+            has_bump=getattr(meta, "has_bump", False),
             max_steps=max_steps,
         )
 

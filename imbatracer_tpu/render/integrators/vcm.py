@@ -357,9 +357,15 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                           max_steps=max_steps)
         radiance = c["radiance"]
 
-        # --- env misses (vcm.cpp:338-365; skipped for the PT variant) ---
+        # --- env misses (vcm.cpp:338-365) -------------------------------
+        # Deviation from the reference: vcm.cpp:344 skips env hits
+        # entirely for ALGO_PT (`if (algo == ALGO_PT) break;`), losing all
+        # environment light in the template's PT variant.  Here the PT
+        # variant evaluates them, with full weight at the first vertex
+        # (no competing technique exists there), matching the dedicated
+        # path tracer (pt.cpp:95-116).
         miss = c["active"] & (hit.prim_id < 0)
-        if scene.env is not None and algo != "pt" and "light_hit" in techniques:
+        if scene.env is not None and "light_hit" in techniques:
             li, pdf_direct_w, pdf_emit_w = envmap_mod.radiance(
                 scene.env, normalize(c["d"]), scene.bsphere.inv_radius_sqr
             )
@@ -368,6 +374,8 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
             w_cam = mis_pow(pdf_di) * c["d_vcm"] + mis_pow(pdf_e) * c["d_vc"]
             if algo == "ppm":
                 w = jnp.ones_like(w_cam)
+            elif algo == "pt":
+                w = jnp.where(i == 0, 1.0, 1.0 / (w_cam + 1.0))
             else:
                 w = 1.0 / (w_cam + 1.0)
             radiance = radiance + jnp.where(

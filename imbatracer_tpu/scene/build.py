@@ -355,6 +355,7 @@ def build_scene(scene_path: str, quiet: bool = False):
         cache_file=cache_file, cache_key=cache_key,
     )
     has_masks = any(m["mask_tex"] >= 0 for m in conv.rows)
+    has_bump = any(m["bump_tex"] >= 0 for m in conv.rows)
     meta = SceneMeta(
         name=os.path.basename(scene_path),
         num_tris=num_tris,
@@ -363,6 +364,7 @@ def build_scene(scene_path: str, quiet: bool = False):
         num_textures=len(conv.textures),
         has_env=env is not None,
         has_masks=has_masks,
+        has_bump=has_bump,
         cam_pos=desc.cam_pos,
         cam_dir=desc.cam_dir,
         cam_up=desc.cam_up,

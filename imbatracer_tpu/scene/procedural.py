@@ -21,11 +21,15 @@ def _quad(p00, p10, p11, p01):
 
 
 def make_cornell_scene(with_boxes: bool = True, mirror_box: bool = False,
-                       glass_sphere: bool = False):
-    """An enclosed box with an area light; returns (DeviceScene, SceneMeta).
+                       glass_sphere: bool = False, light: str = "tri"):
+    """An enclosed box with a light; returns (DeviceScene, SceneMeta).
 
     Walls: white floor/ceiling/back, red left, green right.  Optional inner
-    blocks; one emissive quad near the ceiling.
+    blocks.  `light` selects the emitter kind: "tri" (default, one emissive
+    quad near the ceiling, matching the reference's cornell assets) or
+    "point" / "spot" / "dir" (the reference's `.scene` point_light /
+    spot_light / dir_light entries, build_scene.cpp:366-420) — used to
+    exercise every light kind's sampling code end-to-end.
     """
     tris = []      # (v0, v1, v2, mat_id)
     W, H, D = 2.0, 2.0, 2.0  # box spans x:[-1,1], y:[0,2], z:[-1,1]
@@ -42,9 +46,10 @@ def make_cornell_scene(with_boxes: bool = True, mirror_box: bool = False,
     add(_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), white)    # back
     add(_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), red)      # left
     add(_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), green)        # right
-    # Light quad slightly below the ceiling, facing down (normal -y).
-    add(_quad((-0.3, 1.99, -0.3), (0.3, 1.99, -0.3), (0.3, 1.99, 0.3),
-              (-0.3, 1.99, 0.3)), lightm)
+    if light == "tri":
+        # Light quad slightly below the ceiling, facing down (normal -y).
+        add(_quad((-0.3, 1.99, -0.3), (0.3, 1.99, -0.3), (0.3, 1.99, 0.3),
+                  (-0.3, 1.99, 0.3)), lightm)
 
     if with_boxes:
         bm = mirror if mirror_box else white
@@ -91,6 +96,22 @@ def make_cornell_scene(with_boxes: bool = True, mirror_box: bool = False,
             dict(kind=light_mod.LIGHT_TRI, p0=v0[ti], p1=v1[ti], p2=v2[ti],
                  normal=nn / (2 * area), intensity=emit_intensity, area=area)
         )
+    if light == "point":
+        # Total flux comparable to the area light (reference PointLight
+        # semantics: radiance = intensity / (4 pi d^2), light.h:266-283).
+        light_rows.append(dict(kind=light_mod.LIGHT_POINT, p0=(0.0, 1.7, 0.0),
+                               intensity=(6.0, 5.0, 3.5)))
+    elif light == "spot":
+        light_rows.append(dict(kind=light_mod.LIGHT_SPOT, p0=(0.0, 1.9, 0.0),
+                               normal=(0.0, -1.0, 0.0),
+                               intensity=(6.0, 5.0, 3.5),
+                               cos_angle=np.cos(np.deg2rad(40.0))))
+    elif light == "dir":
+        # Shines in through the open front face (+z) of the box.
+        dn = np.asarray((0.2, -0.6, -1.0), np.float32)
+        light_rows.append(dict(kind=light_mod.LIGHT_DIR,
+                               normal=dn / np.linalg.norm(dn),
+                               intensity=(1.5, 1.3, 1.0)))
 
     scene = assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, [], None)
     meta = SceneMeta(

@@ -82,6 +82,7 @@ class SceneMeta:
     num_textures: int = 0
     has_env: bool = False
     has_masks: bool = False
+    has_bump: bool = False
     cam_pos: tuple = (0.0, 0.0, 0.0)
     cam_dir: tuple = (0.0, 0.0, -1.0)
     cam_up: tuple = (0.0, 1.0, 0.0)
