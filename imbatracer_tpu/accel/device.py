@@ -2,61 +2,108 @@
 
 Plays the role of the reference's one-time accel upload
 (reference: render/scene.cpp:119-188, `upload_mesh_accels` via
-`anydsl_copy`) — in JAX this is just `jnp.asarray` placement; sharded
-placement for multi-chip is handled by the caller (scene is replicated).
+`anydsl_copy`).  The reference uploads one layout per enabled platform;
+here the *traversal mode* decides which arrays exist on device, so HBM
+holds only what the selected kernel reads:
 
-The traversal loop reads only the wide records `nodes16` / `leaf48`
-(one gather each per step — see accel/flatten.py for the layout); the
-narrow arrays are kept for tests and tooling.
+  mode "dense"  : packed triangle arrays only (small scenes; exhaustive
+                  fused test, zero gathers)
+  mode "stream" : super-chunk bboxes + component-major HBM tiles for the
+                  streaming Pallas kernel (ops/pallas_stream.py)
+  mode "stream2": like "stream" plus two-level instancing metadata
+                  (accel/instancing.py; mesh tiles shared across
+                  instances)
+  mode "xla"    : fused (octant-ordered) node records for the threaded
+                  skip-link loop (CPU backend / tests)
+
+The packed triangle arrays are always present (dense mode, brute-force
+validation, tooling).  `mode` is a static (non-pytree) field, so jitted
+callers specialise on it.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from .flatten import ThreadedBvh
 
+DENSE_MAX_TRIS = 1024
 
-from typing import Optional
+
+def choose_mode(t: ThreadedBvh, backend: Optional[str] = None) -> str:
+    """Pick the traversal mode for this scene + backend.
+
+    TPU: dense for tiny scenes (exhaustive fused arithmetic beats any
+    hierarchy below ~1k triangles — a dynamic gather costs a flat
+    ~3.3 ms/M lanes), streaming Pallas kernel otherwise (no size cap).
+    CPU (tests): the XLA skip-link loop — Mosaic kernels would need
+    interpret mode and the unrolled dense form is expensive to compile.
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    if backend != "tpu":
+        return "xla"
+    if t.tri_v0.shape[0] <= DENSE_MAX_TRIS:
+        return "dense"
+    return "stream"
 
 
 @flax.struct.dataclass
 class DeviceBvh:
-    nodes64: jnp.ndarray     # (N, 64) f32 fused node+leaf record
-    nodes64o: Optional[jnp.ndarray]  # (8N, 64) octant-ordered (None if huge)
-    sbox: jnp.ndarray        # (S, 8) super-chunk bboxes (Pallas kernel)
-    cbox: jnp.ndarray        # (C, 8) chunk bboxes (Pallas kernel)
-    tris12: jnp.ndarray      # (C*16, 12) chunk-ordered triangles
-    nodes16: jnp.ndarray     # (N, 16) f32 wide node record
-    leaf48: jnp.ndarray      # (L, 48) f32 wide leaf record
-    node_min: jnp.ndarray    # (N, 3) f32
-    node_max: jnp.ndarray    # (N, 3) f32
-    hit_link: jnp.ndarray    # (N,) i32
-    miss_link: jnp.ndarray   # (N,) i32
-    leaf_start: jnp.ndarray  # (N,) i32 (-1 for inner nodes)
-    tri_v0: jnp.ndarray      # (P, 3) f32 packed leaf packets
-    tri_e1: jnp.ndarray      # (P, 3) f32
-    tri_e2: jnp.ndarray      # (P, 3) f32
-    tri_id: jnp.ndarray      # (P,) i32 flat primitive id, -1 = padding
+    mode: str = flax.struct.field(pytree_node=False)
+    # packed leaf-order triangles (MT form); None only for "stream2"
+    tri_v0: Optional[jnp.ndarray] = None   # (P, 3) f32
+    tri_e1: Optional[jnp.ndarray] = None   # (P, 3) f32
+    tri_e2: Optional[jnp.ndarray] = None   # (P, 3) f32
+    tri_id: Optional[jnp.ndarray] = None   # (P,) i32 flat id, -1 = padding
+    # mode == "stream" / "stream2"
+    sbox: Optional[jnp.ndarray] = None    # (S, 8) super-chunk bboxes (world)
+    tiles: Optional[jnp.ndarray] = None   # (T, 24, 1024) HBM tiles
+    # mode == "stream2" (two-level instancing, accel/instancing.py)
+    tile_idx: Optional[jnp.ndarray] = None  # (1, 1, S) i32
+    inst_of: Optional[jnp.ndarray] = None   # (1, 1, S) i32
+    itab: Optional[jnp.ndarray] = None      # (I, 16) f32
+    # mode == "xla"
+    nodes64: Optional[jnp.ndarray] = None   # (N, 64) fused node+leaf record
+    nodes64o: Optional[jnp.ndarray] = None  # (8N, 64) octant-ordered
+
+    @property
+    def num_nodes(self) -> int:
+        if self.nodes64 is not None:
+            return self.nodes64.shape[0]
+        return 1
 
     @staticmethod
-    def from_threaded(t: ThreadedBvh) -> "DeviceBvh":
-        return DeviceBvh(
-            nodes64=jnp.asarray(t.nodes64),
-            nodes64o=None if t.nodes64o is None else jnp.asarray(t.nodes64o),
-            sbox=jnp.asarray(t.sbox),
-            cbox=jnp.asarray(t.cbox),
-            tris12=jnp.asarray(t.tris12),
-            nodes16=jnp.asarray(t.nodes16),
-            leaf48=jnp.asarray(t.leaf48),
-            node_min=jnp.asarray(t.node_min),
-            node_max=jnp.asarray(t.node_max),
-            hit_link=jnp.asarray(t.hit_link),
-            miss_link=jnp.asarray(t.miss_link),
-            leaf_start=jnp.asarray(t.leaf_start),
+    def from_threaded(t: ThreadedBvh, mode: Optional[str] = None) -> "DeviceBvh":
+        mode = mode or choose_mode(t)
+        kw = dict(
+            mode=mode,
             tri_v0=jnp.asarray(t.tri_v0),
             tri_e1=jnp.asarray(t.tri_e1),
             tri_e2=jnp.asarray(t.tri_e2),
             tri_id=jnp.asarray(t.tri_id),
+        )
+        if mode == "stream":
+            sbox, tiles = t.stream_arrays()
+            kw.update(sbox=jnp.asarray(sbox), tiles=jnp.asarray(tiles))
+        elif mode == "xla":
+            kw.update(nodes64=jnp.asarray(t.nodes64))
+            if t.nodes64o is not None:
+                kw.update(nodes64o=jnp.asarray(t.nodes64o))
+        return DeviceBvh(**kw)
+
+    @staticmethod
+    def from_two_level(tl) -> "DeviceBvh":
+        """Upload accel/instancing.TwoLevelArrays (mode "stream2")."""
+        return DeviceBvh(
+            mode="stream2",
+            sbox=jnp.asarray(tl.sbox),
+            tiles=jnp.asarray(tl.tiles),
+            tile_idx=jnp.asarray(tl.tile_idx),
+            inst_of=jnp.asarray(tl.inst_of),
+            itab=jnp.asarray(tl.itab),
         )

@@ -54,9 +54,6 @@ class ThreadedBvh:
 
     nodes64: np.ndarray       # (N, 64) f32 fused node+leaf record
     nodes64o: np.ndarray | None  # (8N, 64) octant-ordered records (or None)
-    sbox: np.ndarray          # (S, 8) super-chunk bboxes (Pallas kernel)
-    cbox: np.ndarray          # (C, 8) chunk bboxes for the Pallas kernel
-    tris12: np.ndarray        # (C*16, 12) chunk-ordered triangle records
     nodes16: np.ndarray       # (N, 16) f32 wide record (see above)
     leaf48: np.ndarray        # (L, 48) f32 wide record
     node_min: np.ndarray      # (N, 3) f32
@@ -69,6 +66,14 @@ class ThreadedBvh:
     tri_e2: np.ndarray        # (P, 3) f32
     tri_id: np.ndarray        # (P,) i32, -1 = padding
     stats: dict = field(default_factory=dict)
+
+    def stream_arrays(self):
+        """(sbox, tiles) for the HBM-streaming kernel, derived lazily from
+        the packed leaf-order triangles (ops/pallas_stream.py layout)."""
+        from ..ops.pallas_stream import pack_stream_tiles
+
+        return pack_stream_tiles(self.tri_v0, self.tri_e1, self.tri_e2,
+                                 self.tri_id)
 
 
 def pack_records(node_min, node_max, hit_link, miss_link, leaf_start,
@@ -151,11 +156,15 @@ def pack_nodes64(nodes16, leaf48):
     return nodes64
 
 
-def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> ThreadedBvh:
+def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray,
+               v2: np.ndarray, octants: bool | None = None) -> ThreadedBvh:
     """Thread a DFS-ordered binary BVH and pack leaf triangle packets.
 
     v0/v1/v2: (T, 3) world-space triangle vertices indexed by
-    `nodes.prim_ids` entries.
+    `nodes.prim_ids` entries.  `octants` controls the 8x octant-ordered
+    record replication used only by the XLA skip-link loop (the CPU/test
+    path) — on TPU the streaming kernel needs none of it, saving 8x256 B
+    per node of HBM and host build time (default: only off-TPU).
     """
     n = nodes.right.shape[0]
     hit_link = np.empty(n, np.int32)
@@ -204,16 +213,17 @@ def thread_bvh(nodes: BvhNodes, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) 
         pv0, pv1 - pv0, pv2 - pv0, packets.astype(np.int32),
     )
     nodes64 = pack_nodes64(nodes16, leaf48)
+    if octants is None:
+        import jax
+
+        octants = jax.default_backend() != "tpu"
     nodes64o = (
-        thread_bvh_octants(nodes, nodes64) if n <= OCTANT_MAX_NODES else None
+        thread_bvh_octants(nodes, nodes64)
+        if (octants and n <= OCTANT_MAX_NODES) else None
     )
-    sbox, cbox, tris12 = pack_chunks(pv0, pv1 - pv0, pv2 - pv0, packets.astype(np.int32))
     return ThreadedBvh(
         nodes64=nodes64,
         nodes64o=nodes64o,
-        sbox=sbox,
-        cbox=cbox,
-        tris12=tris12,
         nodes16=nodes16,
         leaf48=leaf48,
         node_min=nodes.bbox_min,

@@ -55,33 +55,15 @@ def estimate_pixel_size(scene, cam: Camera, meta) -> float:
 
 
 def traversal_steps(meta) -> int:
-    """Static traversal mode/step bound.
+    """Static step bound for the XLA skip-link loop (CPU backend only —
+    on TPU the traversal mode lives on DeviceBvh.mode and this bound is
+    ignored by the dense/stream paths).
 
-    -1 selects the dense zero-gather mode (every ray tests every triangle;
-    on this TPU a dynamic gather costs ~3.3 ms per 1M lanes flat, so
-    exhaustive fused arithmetic wins for small scenes).  Otherwise: exact
-    node count for small trees, a generous multiple of the depth for deep
-    ones (validated against brute force in tests/test_bvh.py)."""
+    Exact node count for small trees, a generous multiple of the depth
+    for deep ones (validated against brute force in tests/test_bvh.py)."""
     stats = meta.bvh_stats or {}
     nodes = stats.get("nodes", 0)
     depth = stats.get("max_depth", 32)
-    leaves = stats.get("leaves", 0)
-    from ..render.traverse import DENSE_MAX_TRIS, LEAF_WIDTH
-
-    # Dense / chunked Pallas modes are TPU countermeasures (gathers are
-    # near-serial and XLA While bodies run the packet math ~100x slower
-    # than flat kernels, both measured); on CPU the looped BVH is fine and
-    # the unrolled forms only bloat compile time.
-    if jax.default_backend() == "tpu":
-        packed = leaves * LEAF_WIDTH
-        if 0 < packed <= DENSE_MAX_TRIS:
-            return -1
-        # Chunked Pallas kernel: triangle records must fit VMEM with
-        # Mosaic's buffering headroom (80k x 48 B ~ 3.8 MB; 220k compiles
-        # but faults at runtime -- likely double-buffered), and the kernel
-        # has no alpha-mask hook yet.
-        if 0 < packed <= 80_000 and not getattr(meta, "has_masks", False):
-            return -2
     return int(min(max(nodes, 1), max(64, 8 * depth)))
 
 

@@ -19,7 +19,7 @@ import numpy as np
 from ..accel.flatten import ThreadedBvh
 from ..utils.log import logger
 
-CACHE_VERSION = 7  # bump when builder output layout changes
+CACHE_VERSION = 8  # bump when builder output layout changes
 
 
 def fingerprint(paths: list[str], extra: str = "") -> str:
@@ -44,9 +44,6 @@ def store_accel(path: str, bvh: ThreadedBvh, key: str) -> None:
         key=np.frombuffer(key.encode(), np.uint8),
         nodes64=bvh.nodes64,
         nodes64o=bvh.nodes64o if bvh.nodes64o is not None else np.zeros((0, 64), np.float32),
-        sbox=bvh.sbox,
-        cbox=bvh.cbox,
-        tris12=bvh.tris12,
         nodes16=bvh.nodes16,
         leaf48=bvh.leaf48,
         node_min=bvh.node_min,
@@ -80,9 +77,6 @@ def load_accel(path: str, key: str) -> ThreadedBvh | None:
         return ThreadedBvh(
             nodes64=z["nodes64"],
             nodes64o=n64o if n64o.size else None,
-            sbox=z["sbox"],
-            cbox=z["cbox"],
-            tris12=z["tris12"],
             nodes16=z["nodes16"],
             leaf48=z["leaf48"],
             node_min=z["node_min"],

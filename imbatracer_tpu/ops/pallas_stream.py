@@ -253,178 +253,196 @@ def _compact_groups(cm, gflag_ref, glist_ref, gcnt_ref):
     Group g covers chunks 8g..8g+7.  Writes per-group any-hit flags into
     gflag_ref (VMEM) then compacts with unrolled static scalar reads."""
     ci = cm.astype(jnp.int32)
-    # Vector->scalar crossings stall the pipelines, so the whole 8-group
-    # bitmask is packed into ONE scalar: chunk flags (1, 64) via a sublane
-    # reduce, lane-weighted by 2^(chunk//8), lane-summed, read once.
-    anyc = jnp.max(ci, axis=0, keepdims=True)                    # (1, 64)
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (1, SUPER), 1) // 8
-    bits = jnp.sum(anyc << gidx, axis=1, keepdims=True)          # (1, 1)
-    gflag_ref[0:1, 0:1] = bits
-    gcnt_ref[0] = 0
-    b = gflag_ref[0, 0]
     for g in range(NGROUP):
-        @pl.when(((b >> g) & 1) > 0)
+        gflag_ref[g : g + 1, 0:1] = jnp.max(
+            ci[:, g * 8 : (g + 1) * 8], axis=(0, 1), keepdims=True
+        )
+    gcnt_ref[0] = 0
+    for g in range(NGROUP):
+        @pl.when(gflag_ref[g, 0] > 0)
         def _(g=g):
             glist_ref[gcnt_ref[0]] = g
             gcnt_ref[0] = gcnt_ref[0] + 1
 
 
-def _stream_closest_kernel(
-    rays_ref, sbox_ref, slist_ref, scount_ref, tiles_ref,
-    out_ref, best_ref, tile_ref, gflag_ref, glist_ref, gcnt_ref, sem_ref,
-):
-    ox, oy, oz, tmin, dx, dy, dz, tmax, ix, iy, iz = _ray_cols(rays_ref)
+def _make_kernel(occl: bool, instanced: bool):
+    """Kernel factory: closest-hit / occlusion, optionally with two-level
+    instancing (per-super-chunk instance transforms, reference:
+    core/adapter.h:25-38 TopLevelAdapter + InstanceNode — here the
+    "instance node" is metadata on the super-chunk: mesh tile index,
+    instance id, and a (I, 16) table of world->mesh affines + flat
+    primitive-id offsets).  Rays are transformed with UNNORMALISED mesh-
+    space directions so the hit parameter t is identical in both spaces
+    (the reference normalises and rescales, cpu_adapter.cpp:346-366; the
+    unnormalised form needs no rescale and keeps best-t shared)."""
 
-    zeros = jnp.zeros_like(ox)
-    best_ref[:, 0:1] = tmax
-    best_ref[:, 1:2] = zeros
-    best_ref[:, 2:3] = zeros
-    best_ref[:, 3:4] = zeros - 1.0
+    def kernel(*refs):
+        if instanced:
+            (rays_ref, sbox_ref, slist_ref, scount_ref, tidx_ref, iinst_ref,
+             itab_ref, tiles_ref, out_ref, acc_ref, tile_ref, gflag_ref,
+             glist_ref, gcnt_ref, sem_ref) = refs
+        else:
+            (rays_ref, sbox_ref, slist_ref, scount_ref, tiles_ref, out_ref,
+             acc_ref, tile_ref, gflag_ref, glist_ref, gcnt_ref, sem_ref) = refs
 
-    n = scount_ref[0, 0, 0]
+        ox, oy, oz, tmin, dx, dy, dz, tmax, ix, iy, iz = _ray_cols(rays_ref)
+        zeros = jnp.zeros_like(ox)
+        if occl:
+            acc_ref[:, 0:1] = zeros
+        else:
+            acc_ref[:, 0:1] = tmax
+            acc_ref[:, 1:2] = zeros
+            acc_ref[:, 2:3] = zeros
+            acc_ref[:, 3:4] = zeros - 1.0
 
-    def tile_dma(k, slot):
-        sc = slist_ref[0, 0, k]
-        return pltpu.make_async_copy(
-            tiles_ref.at[sc], tile_ref.at[slot], sem_ref.at[slot]
-        )
+        n = scount_ref[0, 0, 0]
 
-    @pl.when(n > 0)
-    def _():
-        tile_dma(0, 0).start()
+        def tile_dma(k, slot):
+            sc = slist_ref[0, 0, k]
+            ti = tidx_ref[0, 0, sc] if instanced else sc
+            return pltpu.make_async_copy(
+                tiles_ref.at[ti], tile_ref.at[slot], sem_ref.at[slot]
+            )
 
-    def body(k, _):
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < n)
+        @pl.when(n > 0)
         def _():
-            tile_dma(k + 1, 1 - slot).start()
+            tile_dma(0, 0).start()
 
-        tile_dma(k, slot).wait()
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
 
-        # Re-check the super-chunk against the *current* best t (the list
-        # was built with the initial tmax; front-to-back ordering makes
-        # this prune most of the tail).
-        sc = slist_ref[0, 0, k]
-        sb = sbox_ref[pl.ds(sc, 1), :]
-        stn, stf = _slab_row(sb, ox, oy, oz, ix, iy, iz)
-        s_ok = (stn <= stf) & (stf >= tmin) & (stn <= best_ref[:, 0:1])
+            @pl.when(k + 1 < n)
+            def _():
+                tile_dma(k + 1, 1 - slot).start()
 
-        @pl.when(jnp.any(s_ok))
-        def _():
-            tn, tf = _chunk_slab(tile_ref, slot, ox, oy, oz, ix, iy, iz)
-            cm = (tn <= tf) & (tf >= tmin) & (tn <= best_ref[:, 0:1])
-            _compact_groups(cm, gflag_ref, glist_ref, gcnt_ref)
+            tile_dma(k, slot).wait()
 
-            def mt_body(j, _):
-                g = glist_ref[j]
-                best_t = best_ref[:, 0:1]
-                t, u, v, tid, ok = _mt_group(
-                    tile_ref, slot, g, ox, oy, oz, dx, dy, dz, tmin, best_t
-                )
-                t = jnp.where(ok, t, BIG)
-                t_min = jnp.min(t, axis=1, keepdims=True)     # (BLK, 1)
-                improved = t_min < best_t
-                sel = t == t_min
-                pick = lambda a: jnp.max(
-                    jnp.where(sel, a, -BIG), axis=1, keepdims=True
-                )
-                best_ref[:, 0:1] = jnp.where(improved, t_min, best_t)
-                best_ref[:, 1:2] = jnp.where(improved, pick(u), best_ref[:, 1:2])
-                best_ref[:, 2:3] = jnp.where(improved, pick(v), best_ref[:, 2:3])
-                best_ref[:, 3:4] = jnp.where(
-                    improved, pick(tid * jnp.ones_like(u)), best_ref[:, 3:4]
-                )
-                return 0
+            # Re-check the super-chunk (world space) against the *current*
+            # best t / termination state (the candidate list was built with
+            # the initial tmax; front-to-back ordering makes this prune
+            # most of the tail).
+            sc = slist_ref[0, 0, k]
+            sb = sbox_ref[pl.ds(sc, 1), :]
+            stn, stf = _slab_row(sb, ox, oy, oz, ix, iy, iz)
+            if occl:
+                live = ~(acc_ref[:, 0:1] > 0.0)
+                s_ok = (stn <= stf) & (stf >= tmin) & (stn <= tmax) & live
+            else:
+                s_ok = (stn <= stf) & (stf >= tmin) & (stn <= acc_ref[:, 0:1])
 
-            jax.lax.fori_loop(0, gcnt_ref[0], mt_body, 0)
+            @pl.when(jnp.any(s_ok))
+            def _():
+                if instanced:
+                    ii = iinst_ref[0, 0, sc]
+                    row = itab_ref[pl.ds(ii, 1), :]       # (1, 16)
+                    m = lambda c: row[:, c : c + 1]
+                    cox = m(0) * ox + m(1) * oy + m(2) * oz + m(3)
+                    coy = m(4) * ox + m(5) * oy + m(6) * oz + m(7)
+                    coz = m(8) * ox + m(9) * oy + m(10) * oz + m(11)
+                    cdx = m(0) * dx + m(1) * dy + m(2) * dz
+                    cdy = m(4) * dx + m(5) * dy + m(6) * dz
+                    cdz = m(8) * dx + m(9) * dy + m(10) * dz
+                    sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
+                    cix = sgn(cdx) / jnp.maximum(jnp.abs(cdx), 1e-12)
+                    ciy = sgn(cdy) / jnp.maximum(jnp.abs(cdy), 1e-12)
+                    ciz = sgn(cdz) / jnp.maximum(jnp.abs(cdz), 1e-12)
+                    id_off = row[:, 12:13]
+                else:
+                    cox, coy, coz = ox, oy, oz
+                    cdx, cdy, cdz = dx, dy, dz
+                    cix, ciy, ciz = ix, iy, iz
+                    id_off = None
 
-        return 0
+                tn, tf = _chunk_slab(tile_ref, slot, cox, coy, coz,
+                                     cix, ciy, ciz)
+                if occl:
+                    alive = ~(acc_ref[:, 0:1] > 0.0)
+                    cm = (tn <= tf) & (tf >= tmin) & (tn <= tmax) & alive
+                else:
+                    cm = (tn <= tf) & (tf >= tmin) & (tn <= acc_ref[:, 0:1])
+                _compact_groups(cm, gflag_ref, glist_ref, gcnt_ref)
 
-    jax.lax.fori_loop(0, n, body, 0)
+                def mt_body(j, _):
+                    g = glist_ref[j]
+                    limit = tmax if occl else acc_ref[:, 0:1]
+                    t, u, v, tid, ok = _mt_group(
+                        tile_ref, slot, g, cox, coy, coz, cdx, cdy, cdz,
+                        tmin, limit
+                    )
+                    if occl:
+                        found = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1,
+                                        keepdims=True)
+                        acc_ref[:, 0:1] = jnp.maximum(acc_ref[:, 0:1], found)
+                        return 0
+                    if id_off is not None:
+                        tid = tid + id_off
+                    best_t = acc_ref[:, 0:1]
+                    t = jnp.where(ok, t, BIG)
+                    t_min = jnp.min(t, axis=1, keepdims=True)   # (BLK, 1)
+                    improved = t_min < best_t
+                    sel = t == t_min
+                    pick = lambda a: jnp.max(
+                        jnp.where(sel, a, -BIG), axis=1, keepdims=True
+                    )
+                    acc_ref[:, 0:1] = jnp.where(improved, t_min, best_t)
+                    acc_ref[:, 1:2] = jnp.where(improved, pick(u),
+                                                acc_ref[:, 1:2])
+                    acc_ref[:, 2:3] = jnp.where(improved, pick(v),
+                                                acc_ref[:, 2:3])
+                    acc_ref[:, 3:4] = jnp.where(
+                        improved, pick(tid * jnp.ones_like(u)),
+                        acc_ref[:, 3:4]
+                    )
+                    return 0
 
-    out_ref[:, 0:4] = best_ref[:, 0:4]
-    out_ref[:, 4:8] = jnp.concatenate([zeros] * 4, axis=1)
+                jax.lax.fori_loop(0, gcnt_ref[0], mt_body, 0)
 
+            return 0
 
-def _stream_occl_kernel(
-    rays_ref, sbox_ref, slist_ref, scount_ref, tiles_ref,
-    out_ref, occ_ref, tile_ref, gflag_ref, glist_ref, gcnt_ref, sem_ref,
-):
-    ox, oy, oz, tmin, dx, dy, dz, tmax, ix, iy, iz = _ray_cols(rays_ref)
-    occ_ref[:, 0:1] = jnp.zeros_like(ox)
-    n = scount_ref[0, 0, 0]
+        jax.lax.fori_loop(0, n, body, 0)
 
-    def tile_dma(k, slot):
-        sc = slist_ref[0, 0, k]
-        return pltpu.make_async_copy(
-            tiles_ref.at[sc], tile_ref.at[slot], sem_ref.at[slot]
-        )
+        if occl:
+            out_ref[:, 0:1] = acc_ref[:, 0:1]
+            out_ref[:, 1:8] = jnp.concatenate([zeros] * 7, axis=1)
+        else:
+            out_ref[:, 0:4] = acc_ref[:, 0:4]
+            out_ref[:, 4:8] = jnp.concatenate([zeros] * 4, axis=1)
 
-    @pl.when(n > 0)
-    def _():
-        tile_dma(0, 0).start()
-
-    def body(k, _):
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < n)
-        def _():
-            tile_dma(k + 1, 1 - slot).start()
-
-        tile_dma(k, slot).wait()
-
-        sc = slist_ref[0, 0, k]
-        sb = sbox_ref[pl.ds(sc, 1), :]
-        stn, stf = _slab_row(sb, ox, oy, oz, ix, iy, iz)
-        live = ~(occ_ref[:, 0:1] > 0.0)
-        s_ok = (stn <= stf) & (stf >= tmin) & (stn <= tmax) & live
-
-        @pl.when(jnp.any(s_ok))
-        def _():
-            tn, tf = _chunk_slab(tile_ref, slot, ox, oy, oz, ix, iy, iz)
-            alive = ~(occ_ref[:, 0:1] > 0.0)
-            cm = (tn <= tf) & (tf >= tmin) & (tn <= tmax) & alive
-            _compact_groups(cm, gflag_ref, glist_ref, gcnt_ref)
-
-            def mt_body(j, _):
-                g = glist_ref[j]
-                _, _, _, _, ok = _mt_group(
-                    tile_ref, slot, g, ox, oy, oz, dx, dy, dz, tmin, tmax
-                )
-                found = jnp.max(
-                    jnp.where(ok, 1.0, 0.0), axis=1, keepdims=True
-                )
-                occ_ref[:, 0:1] = jnp.maximum(occ_ref[:, 0:1], found)
-                return 0
-
-            jax.lax.fori_loop(0, gcnt_ref[0], mt_body, 0)
-
-        return 0
-
-    jax.lax.fori_loop(0, n, body, 0)
-    zeros = jnp.zeros_like(ox)
-    out_ref[:, 0:1] = occ_ref[:, 0:1]
-    out_ref[:, 1:8] = jnp.concatenate([zeros] * 7, axis=1)
+    return kernel
 
 
-def _stream_call(kernel, raysT, sbox, slist, scount, tiles, occl=False):
+def _stream_call(raysT, sbox, slist, scount, tiles, occl=False, inst=None):
     num_r = raysT.shape[0]
     num_s = sbox.shape[0]
+    instanced = inst is not None
+    in_specs = [
+        pl.BlockSpec((BLK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_s, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, slist.shape[2]), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args = [raysT, sbox, slist, scount]
+    if instanced:
+        tidx, iinst, itab = inst
+        in_specs += [
+            pl.BlockSpec((1, 1, tidx.shape[2]), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, iinst.shape[2]), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((itab.shape[0], 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [tidx, iinst, itab]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(tiles)
+
     return pl.pallas_call(
-        kernel,
+        _make_kernel(occl, instanced),
         out_shape=jax.ShapeDtypeStruct((num_r, 8), jnp.float32),
         grid=(num_r // BLK,),
-        in_specs=[
-            pl.BlockSpec((BLK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_s, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, slist.shape[2]), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BLK, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -435,7 +453,7 @@ def _stream_call(kernel, raysT, sbox, slist, scount, tiles, occl=False):
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(raysT, sbox, slist, scount, tiles)
+    )(*args)
 
 
 # --------------------------------------------------------------------------
@@ -460,24 +478,23 @@ def _rays8t(org, d, tmin, tmax, active):
     return rays8t, num_r
 
 
-def closest_hit_stream(sbox, tiles, org, d, tmin, tmax, active=None):
+def closest_hit_stream(sbox, tiles, org, d, tmin, tmax, active=None,
+                       inst=None):
     from ..render.traverse import Hit
 
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
     slist, scount = superchunk_candidates(rays8t, sbox)
-    out = _stream_call(
-        _stream_closest_kernel, rays8t.T, sbox, slist, scount, tiles
-    )[:num_r]
+    out = _stream_call(rays8t.T, sbox, slist, scount, tiles,
+                       inst=inst)[:num_r]
     t = out[:, 0]
     prim_id = out[:, 3].astype(jnp.int32)
     t = jnp.where(prim_id >= 0, t, BIG)
     return Hit(t=t, prim_id=prim_id, u=out[:, 1], v=out[:, 2])
 
 
-def any_hit_stream(sbox, tiles, org, d, tmin, tmax, active=None):
+def any_hit_stream(sbox, tiles, org, d, tmin, tmax, active=None, inst=None):
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
     slist, scount = superchunk_candidates(rays8t, sbox)
-    out = _stream_call(
-        _stream_occl_kernel, rays8t.T, sbox, slist, scount, tiles, occl=True
-    )[:num_r]
+    out = _stream_call(rays8t.T, sbox, slist, scount, tiles, occl=True,
+                       inst=inst)[:num_r]
     return out[:, 0] > 0.0

@@ -461,8 +461,11 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                     d_vm=d_vm, state=st)
 
     out = jax.lax.fori_loop(0, max_len, body, carry)
-    # pixel_id is tile(arange(P), spp): reshape+sum instead of a scatter.
-    return out["radiance"].reshape(spp, num_pixels, 3).sum(axis=0)
+    # pixel_id is a static tile-order permutation of arange(P) tiled by
+    # spp: un-permute + reshape+sum instead of a scatter (see pt.camera_rays).
+    from .pt import unswizzle_film
+
+    return unswizzle_film(out["radiance"], spp, num_pixels, width)
 
 
 def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,

@@ -168,6 +168,50 @@ def _node_fetch(table, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
 
 DENSE_MAX_TRIS = 1024
 
+# Alpha-masked traversal on the streaming kernel: the kernel itself is
+# gather-free (Mosaic cannot do per-lane indexing, so no in-kernel texture
+# lookups); masked hits are resolved OUTSIDE by re-tracing past
+# transparent intersections.  Bounded rounds: a ray crossing more than
+# ALPHA_ROUNDS consecutive masked-out surfaces treats the last one as
+# opaque (the reference kernels are exact, core/mask.h; the cornell-family
+# test scenes carry no masks, so the bound is a documented trade).
+ALPHA_ROUNDS = 4
+
+
+def _inst(bvh):
+    """Two-level instancing metadata for the streaming kernel (or None)."""
+    if bvh.mode == "stream2":
+        return (bvh.tile_idx, bvh.inst_of, bvh.itab)
+    return None
+
+
+def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active):
+    """Closest hit with transparency masks via iterative re-tracing."""
+    from ..ops.pallas_stream import closest_hit_stream
+
+    num_r = org.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
+    act = (
+        jnp.ones((num_r,), jnp.bool_) if active is None else active
+    )
+    hit = closest_hit_stream(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
+                             active=act, inst=_inst(bvh))
+    for _ in range(ALPHA_ROUNDS):
+        got = act & (hit.prim_id >= 0)
+        opaque = alpha_fn(jnp.maximum(hit.prim_id, 0), hit.u, hit.v)
+        retrace = got & ~opaque
+        new_tmin = hit.t + 1e-3 * jnp.maximum(hit.t, 1e-3)
+        h2 = closest_hit_stream(bvh.sbox, bvh.tiles, org, d, new_tmin, tmax,
+                                active=retrace, inst=_inst(bvh))
+        hit = Hit(
+            t=jnp.where(retrace, h2.t, hit.t),
+            prim_id=jnp.where(retrace, h2.prim_id, hit.prim_id),
+            u=jnp.where(retrace, h2.u, hit.u),
+            v=jnp.where(retrace, h2.v, hit.v),
+        )
+    return hit
+
 
 def _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, want_hit):
     """Statically unrolled all-triangles test (see module docstring)."""
@@ -255,19 +299,21 @@ def closest_hit(
     callers with deep scenes can cap it lower and accept a bounded
     false-miss probability (validated in tests).
     """
-    if max_steps == -1:
+    if bvh.mode == "dense" or max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, True)
-    if max_steps == -2:
-        from ..ops.pallas_chunked import closest_hit_chunked
+    if bvh.mode in ("stream", "stream2"):
+        from ..ops.pallas_stream import closest_hit_stream
 
-        return closest_hit_chunked(bvh.sbox, bvh.cbox, bvh.tris12, org, d,
-                                   tmin, tmax, active=active)
+        if alpha_fn is None:
+            return closest_hit_stream(bvh.sbox, bvh.tiles, org, d, tmin,
+                                      tmax, active=active, inst=_inst(bvh))
+        return _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
     table, start = _octant_start(bvh, start, dx, dy, dz)
     if max_steps <= 0:
-        max_steps = bvh.nodes16.shape[0]
+        max_steps = bvh.nodes64.shape[0]
     init = (
         start,                               # current node
         tmax,                                # best t (doubles as ray tmax)
@@ -320,19 +366,22 @@ def any_hit(
     Early-outs per lane the moment an occluder is found (the reference's
     `occluded_*` kernels, ray_queue.h:296-343).
     """
-    if max_steps == -1:
+    if bvh.mode == "dense" or max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, False)
-    if max_steps == -2:
-        from ..ops.pallas_chunked import any_hit_chunked
+    if bvh.mode in ("stream", "stream2"):
+        from ..ops.pallas_stream import any_hit_stream
 
-        return any_hit_chunked(bvh.sbox, bvh.cbox, bvh.tris12, org, d, tmin,
-                               tmax, active=active)
+        if alpha_fn is None:
+            return any_hit_stream(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
+                                  active=active, inst=_inst(bvh))
+        hit = _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)
+        return hit.prim_id >= 0
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
     table, start = _octant_start(bvh, start, dx, dy, dz)
     if max_steps <= 0:
-        max_steps = bvh.nodes16.shape[0]
+        max_steps = bvh.nodes64.shape[0]
     init = (start, jnp.zeros_like(tmin, dtype=jnp.bool_))
 
     def body(_, state):

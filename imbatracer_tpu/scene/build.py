@@ -350,9 +350,35 @@ def build_scene(scene_path: str, quiet: bool = False):
     except OSError:
         pass
 
+    # Two-level instancing: when instances multiply the geometry, keep ONE
+    # mesh-space tile set per mesh and traverse through per-super-chunk
+    # instance transforms (reference: core/adapter.h TopLevelAdapter;
+    # here accel/instancing.py).  Shading attrs stay flat per instance.
+    two_level = None
+    unique_tris = sum(len(m.tris) for m in meshes)
+    import jax as _jax
+
+    if (_jax.default_backend() == "tpu" and len(desc.instances) > 1
+            and num_tris > 1024 and num_tris >= 2 * unique_tris):
+        face_base = 0
+        inst_list = []
+        for inst in desc.instances:
+            m4 = math3d.instance_matrix(inst.pos, inst.scale, inst.rot)
+            inst_list.append(dict(mesh_idx=inst.mesh_idx, matrix=m4,
+                                  face_base=face_base))
+            face_base += len(meshes[inst.mesh_idx].tris)
+        mesh_tris = [
+            (m.verts[m.tris[:, 0]], m.verts[m.tris[:, 1]],
+             m.verts[m.tris[:, 2]])
+            for m in meshes
+        ]
+        two_level = (mesh_tris, inst_list)
+        logger.info("two-level instancing: %d instances, %d unique tris "
+                    "(%d flat)", len(inst_list), unique_tris, num_tris)
+
     device_scene = assemble_device_scene(
         v0, v1, v2, attrs, conv.rows, light_rows, conv.textures, env,
-        cache_file=cache_file, cache_key=cache_key,
+        cache_file=cache_file, cache_key=cache_key, two_level=two_level,
     )
     has_masks = any(m["mask_tex"] >= 0 for m in conv.rows)
     has_bump = any(m["bump_tex"] >= 0 for m in conv.rows)
@@ -381,7 +407,8 @@ def _geom_normals(v0, v1, v2):
 
 
 def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env,
-                          cache_file: str = "", cache_key: str = ""):
+                          cache_file: str = "", cache_key: str = "",
+                          two_level=None):
     """Shared tail of scene construction: BVH build + device upload.
 
     Used by both the file-based builder and procedural scenes
@@ -397,13 +424,24 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
     radius = float(np.linalg.norm(hi - center)) + 1e-6
 
     threaded = None
-    if cache_file:
+    two_level_bvh = None
+    if two_level is not None:
+        from ..accel.instancing import build_two_level
+
+        t_bvh = time.time()
+        mesh_tris, inst_list = two_level
+        tl = build_two_level(mesh_tris, inst_list)
+        two_level_bvh = DeviceBvh.from_two_level(tl)
+        bvh_stats = dict(tl.stats)
+        logger.info("two-level BVH: %s in %.2fs", bvh_stats,
+                    time.time() - t_bvh)
+    elif cache_file:
         from ..io import bvh_cache
 
         threaded = bvh_cache.load_accel(cache_file, cache_key)
         if threaded is not None:
             logger.info("BVH loaded from cache: %s", threaded.stats)
-    if threaded is None:
+    if threaded is None and two_level_bvh is None:
         t_bvh = time.time()
         blo, bhi = triangle_bboxes(v0, v1, v2)
         # Native C++ builder (accel/cpp) with NumPy fallback.
@@ -479,8 +517,11 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
     shade_rec[:, 39] = arr("bump_tex", np.int32)[mid].view(np.float32)
     shade_rec[:, 40] = arr("mask_tex", np.int32)[mid].view(np.float32)
 
+    if two_level_bvh is None:
+        bvh_stats = threaded.stats
     scene = DeviceScene(
-        bvh=DeviceBvh.from_threaded(threaded),
+        bvh=(two_level_bvh if two_level_bvh is not None
+             else DeviceBvh.from_threaded(threaded)),
         attrs=TriAttrs(
             rec=jnp.asarray(attr_rec),
             shade_rec=jnp.asarray(shade_rec),
@@ -503,5 +544,5 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
         ),
         env=env,
     )
-    object.__setattr__(scene, "bvh_stats", threaded.stats)
+    object.__setattr__(scene, "bvh_stats", bvh_stats)
     return scene

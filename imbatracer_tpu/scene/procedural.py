@@ -130,6 +130,93 @@ def make_cornell_scene(with_boxes: bool = True, mirror_box: bool = False,
     return scene, meta
 
 
+def make_masked_scene():
+    """Cornell box plus an alpha-masked occluder quad under the light.
+
+    The occluder spans x:[-0.8,0.8] at y=1.2; its mask texture is black
+    (transparent) for u < 0.5 and white (opaque) for u >= 0.5, with u
+    mapped along +x.  Exercises the reference's masked kernel semantics
+    (core/mask.h binarisation + masked traversal variants,
+    render/scheduling/ray_queue.h:254-341): shadows must appear only
+    under the opaque half."""
+    tris = []
+    white = 0
+
+    def add(quads, mat):
+        for t in quads:
+            tris.append((*t, mat))
+
+    add(_quad((-1, 0, 1), (1, 0, 1), (1, 0, -1), (-1, 0, -1)), white)      # floor
+    add(_quad((-1, 2, -1), (1, 2, -1), (1, 2, 1), (-1, 2, 1)), white)      # ceiling
+    add(_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), white)    # back
+    add(_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), 1)        # left
+    add(_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), 2)            # right
+    add(_quad((-0.3, 1.99, -0.3), (0.3, 1.99, -0.3), (0.3, 1.99, 0.3),
+              (-0.3, 1.99, 0.3)), 3)                                       # light
+    masked = 4
+    occ = _quad((-0.8, 1.2, -0.6), (0.8, 1.2, -0.6), (0.8, 1.2, 0.6),
+                (-0.8, 1.2, 0.6))
+    add(occ, masked)
+
+    v0 = np.asarray([t[0] for t in tris], np.float32)
+    v1 = np.asarray([t[1] for t in tris], np.float32)
+    v2 = np.asarray([t[2] for t in tris], np.float32)
+    mat_id = np.asarray([t[3] for t in tris], np.int32)
+    n = np.cross(v1 - v0, v2 - v0)
+    gn = (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True),
+                         1e-20)).astype(np.float32)
+
+    F = len(tris)
+    uv0 = np.zeros((F, 2), np.float32)
+    uv1 = np.zeros((F, 2), np.float32)
+    uv2 = np.zeros((F, 2), np.float32)
+    # UVs on the occluder: u = (x + 0.8) / 1.6 (v constant 0.5 — the mask
+    # varies along u only).
+    for k, (a, b, c) in enumerate(occ):
+        ti = F - 2 + k
+        for uv, p in ((uv0, a), (uv1, b), (uv2, c)):
+            uv[ti] = ((p[0] + 0.8) / 1.6, 0.5)
+
+    attrs = dict(
+        n0=gn, n1=gn, n2=gn, uv0=uv0, uv1=uv1, uv2=uv2,
+        mat_id=mat_id, light_id=np.full(F, -1, np.int32),
+        inst_id=np.zeros(F, np.int32), local_id=np.arange(F, dtype=np.int32),
+    )
+    emit_intensity = (18.0, 14.0, 9.0)
+    base = dict(ks=(0, 0, 0), tf=(0, 0, 0), ns=1.0, ior=1.0,
+                emit=(0, 0, 0), kd_tex=-1, bump_tex=-1, mask_tex=-1)
+    mat_rows = [
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.76, 0.75, 0.5)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.63, 0.06, 0.04)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.15, 0.48, 0.09)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.78, 0.78, 0.78),
+             emit=emit_intensity),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.7, 0.7, 0.7), mask_tex=0),
+    ]
+    light_rows = []
+    for ti in np.nonzero(mat_id == 3)[0]:
+        nn = np.cross(v1[ti] - v0[ti], v2[ti] - v0[ti])
+        area = 0.5 * np.linalg.norm(nn)
+        attrs["light_id"][ti] = len(light_rows)
+        light_rows.append(
+            dict(kind=light_mod.LIGHT_TRI, p0=v0[ti], p1=v1[ti], p2=v2[ti],
+                 normal=nn / (2 * area), intensity=emit_intensity, area=area)
+        )
+    # Mask: 64x4, black left half (transparent), white right (opaque).
+    mask_img = np.zeros((4, 64, 3), np.float32)
+    mask_img[:, 32:] = 1.0
+    scene = assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows,
+                                  [mask_img], None)
+    meta = SceneMeta(
+        name="procedural_masked",
+        num_tris=F, num_materials=len(mat_rows), num_lights=len(light_rows),
+        num_textures=1, has_env=False, has_masks=True,
+        cam_pos=(0.0, 1.0, 3.6), cam_dir=(0.0, 0.0, -1.0),
+        cam_up=(0.0, 1.0, 0.0), bvh_stats=scene.bvh_stats,
+    )
+    return scene, meta
+
+
 def make_big_scene(num_boxes: int = 4000, seed: int = 0):
     """A large procedural scene (~50k triangles at the default) for
     big-BVH traversal testing and perf work: a field of rotated boxes in

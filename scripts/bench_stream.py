@@ -19,7 +19,7 @@ sys.path.insert(0, "/root/repo")
 from imbatracer_tpu.accel.builder import build_bvh
 from imbatracer_tpu.accel.flatten import thread_bvh
 from imbatracer_tpu.ops import pallas_stream as ps
-from imbatracer_tpu.ops import pallas_chunked as pc
+from imbatracer_tpu.accel.device import DeviceBvh
 
 
 def boxes_scene(num_boxes, seed=0):
@@ -83,13 +83,13 @@ def check_correct():
     org, d = scattered_rays(4096)
     BIG = ps.BIG
 
+    from imbatracer_tpu.render.traverse import closest_hit, any_hit
+
+    xbvh = DeviceBvh.from_threaded(tb, mode="xla")
     h_st = ps.closest_hit_stream(sboxj, tilesj, org, d, 0.0, BIG)
-    h_ch = pc.closest_hit_chunked(
-        jnp.asarray(tb.sbox), jnp.asarray(tb.cbox), jnp.asarray(tb.tris12),
-        org, d, 0.0, BIG,
-    )
+    h_ch = closest_hit(xbvh, org, d, 0.0, BIG)
     bad = int(jnp.sum(h_st.prim_id != h_ch.prim_id))
-    print(f"closest stream-vs-chunked mismatches: {bad}/4096")
+    print(f"closest stream-vs-xla mismatches: {bad}/4096")
     assert bad == 0
     m = np.asarray(h_ch.prim_id >= 0)
     np.testing.assert_allclose(
@@ -97,12 +97,9 @@ def check_correct():
     )
 
     occ_st = ps.any_hit_stream(sboxj, tilesj, org, d, 0.0, jnp.full((4096,), 3.0))
-    occ_ch = pc.any_hit_chunked(
-        jnp.asarray(tb.sbox), jnp.asarray(tb.cbox), jnp.asarray(tb.tris12),
-        org, d, 0.0, jnp.full((4096,), 3.0),
-    )
+    occ_ch = any_hit(xbvh, org, d, 0.0, jnp.full((4096,), 3.0))
     bad = int(jnp.sum(occ_st != occ_ch))
-    print(f"anyhit  stream-vs-chunked mismatches: {bad}/4096")
+    print(f"anyhit  stream-vs-xla mismatches: {bad}/4096")
     assert bad == 0
 
     # active-lane masking
