@@ -61,8 +61,11 @@ class DeviceBvh:
     tri_e2: Optional[jnp.ndarray] = None   # (P, 3) f32
     tri_id: Optional[jnp.ndarray] = None   # (P,) i32 flat id, -1 = padding
     # mode == "stream" / "stream2"
-    sbox: Optional[jnp.ndarray] = None    # (S, 8) super-chunk bboxes (world)
-    tiles: Optional[jnp.ndarray] = None   # (T, 24, 1024) HBM tiles
+    sbox: Optional[jnp.ndarray] = None    # (S, 8) super-chunk bboxes
+    tiles: Optional[jnp.ndarray] = None   # (T, 24, 1024) HBM feature tiles
+    center: Optional[jnp.ndarray] = None  # (3,) recentring offset ("stream";
+                                          # zero for "stream2" — folded into
+                                          # the per-instance affines)
     # mode == "stream2" (two-level instancing, accel/instancing.py)
     tile_idx: Optional[jnp.ndarray] = None  # (1, 1, S) i32
     inst_of: Optional[jnp.ndarray] = None   # (1, 1, S) i32
@@ -88,8 +91,9 @@ class DeviceBvh:
             tri_id=jnp.asarray(t.tri_id),
         )
         if mode == "stream":
-            sbox, tiles = t.stream_arrays()
-            kw.update(sbox=jnp.asarray(sbox), tiles=jnp.asarray(tiles))
+            sbox, tiles, center = t.stream_arrays()
+            kw.update(sbox=jnp.asarray(sbox), tiles=jnp.asarray(tiles),
+                      center=jnp.asarray(center))
         elif mode == "xla":
             kw.update(nodes64=jnp.asarray(t.nodes64))
             if t.nodes64o is not None:
@@ -103,6 +107,7 @@ class DeviceBvh:
             mode="stream2",
             sbox=jnp.asarray(tl.sbox),
             tiles=jnp.asarray(tl.tiles),
+            center=jnp.zeros(3, jnp.float32),
             tile_idx=jnp.asarray(tl.tile_idx),
             inst_of=jnp.asarray(tl.inst_of),
             itab=jnp.asarray(tl.itab),

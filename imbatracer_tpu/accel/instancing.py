@@ -78,17 +78,21 @@ def build_two_level(mesh_tris: list, instances: list) -> TwoLevelArrays:
         lo, hi = triangle_bboxes(v0, v1, v2)
         nodes = build_bvh(lo, hi)
         t = thread_bvh(nodes, v0, v1, v2, octants=False)
-        mesh_stream.append(t.stream_arrays())      # (sbox_m, tiles_m)
+        mesh_stream.append(t.stream_arrays())   # (sbox_m, tiles_m, center_m)
 
-    tiles = np.concatenate([ts for _, ts in mesh_stream], axis=0)
-    tile_base = np.cumsum([0] + [ts.shape[0] for _, ts in mesh_stream])
+    tiles = np.concatenate([ts for _, ts, _ in mesh_stream], axis=0)
+    tile_base = np.cumsum([0] + [ts.shape[0] for _, ts, _ in mesh_stream])
 
     sbox_rows, tidx_rows, inst_rows, itab_rows = [], [], [], []
     for i, inst in enumerate(instances):
         mi = inst["mesh_idx"]
         m4 = np.asarray(inst["matrix"], np.float64).reshape(4, 4)
-        sbox_m, _ = mesh_stream[mi]
-        wlo, whi = _transform_bbox(m4, sbox_m[:, 0:3], sbox_m[:, 3:6])
+        sbox_m, _, c_m = mesh_stream[mi]
+        # Mesh tiles/sbox are recentred around c_m (pack_stream_tiles);
+        # un-centre for the world bbox, and fold the centring into the
+        # world->mesh affine so kernel-side mesh coords match the tiles.
+        wlo, whi = _transform_bbox(m4, sbox_m[:, 0:3] + c_m,
+                                   sbox_m[:, 3:6] + c_m)
         s_m = sbox_m.shape[0]
         row = np.zeros((s_m, 8), np.float32)
         row[:, 0:3] = wlo
@@ -96,8 +100,10 @@ def build_two_level(mesh_tris: list, instances: list) -> TwoLevelArrays:
         sbox_rows.append(row)
         tidx_rows.append(np.arange(s_m, dtype=np.int32) + tile_base[mi])
         inst_rows.append(np.full(s_m, i, np.int32))
+        aff = _affine_inverse(m4)
+        aff[:, 3] -= c_m
         r = np.zeros(16, np.float32)
-        r[0:12] = _affine_inverse(m4).reshape(12)
+        r[0:12] = aff.reshape(12)
         r[12] = float(inst["face_base"])
         itab_rows.append(r)
 

@@ -49,8 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--radius-factor", type=float, default=2.0)
     p.add_argument("--gamma", type=float, default=0.5)
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--sbvh", action="store_true",
+                   help="spatial-split BVH build (slower build, faster "
+                        "traversal on thin-triangle scenes; cached)")
     p.add_argument("--intermediate-path", default="")
     p.add_argument("--intermediate-time", type=float, default=float("inf"))
+    p.add_argument("--interactive", action="store_true",
+                   help="interactive preview: WASD/QE move, IJKL look, "
+                        "live terminal view (the reference's render "
+                        "window; needs a TTY)")
     return p
 
 
@@ -82,10 +89,16 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     settings = settings_from_args(args)
 
-    scene, meta = build_scene(args.scene, quiet=args.quiet)
+    scene, meta = build_scene(args.scene, quiet=args.quiet, spatial=args.sbvh)
     if not args.quiet:
         logger.info("scene %s: %d tris, %d lights, algo=%s",
                     meta.name, meta.num_tris, meta.num_lights, args.algorithm)
+
+    if args.interactive:
+        from .interactive import run_interactive
+
+        run_interactive(scene, meta, settings, args.output)
+        return 0
 
     frame_fn, _cam = make_frame_fn(scene, meta, settings)
     renderer = ProgressiveRenderer(frame_fn, settings)

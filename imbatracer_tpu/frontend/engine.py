@@ -69,12 +69,47 @@ def traversal_steps(meta) -> int:
 
 def make_frame_fn(scene, meta, settings: RenderSettings):
     """Returns (frame_fn, camera). frame_fn(frame_idx) -> (H*W, 3) film."""
+    core, cam = make_camera_frame_fn(scene, meta, settings)
+    return (lambda frame: core(frame, cam)), cam
+
+
+def make_camera_frame_fn(scene, meta, settings: RenderSettings):
+    """Returns (core_fn, default_camera) with core_fn(frame_idx, camera)
+    -> (H*W, 3) film.  The camera is a traced pytree argument, so moving
+    it (interactive preview) re-uses the compiled frame program.
+
+    On a multi-chip host every frame is data-parallel over the device
+    mesh (parallel/shard.py): camera rays / light paths shard over chips,
+    films psum over ICI, the VCM vertex cache is merged + canonicalised
+    between the passes.  Results are identical to single-chip rendering
+    (RNG is keyed by global pixel/path ids)."""
     cam = camera_for_scene(meta, settings)
     algo = settings.algorithm
     max_steps = traversal_steps(meta)
 
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel.shard import make_mesh
+
+        mesh = make_mesh()
+        logger.info("multi-chip: sharding over %d devices",
+                    mesh.devices.size)
+
     if algo == "pt":
-        def frame_fn(frame):
+        if mesh is not None:
+            from ..parallel.shard import render_pt_frame_sharded
+
+            def core(frame, cam):
+                return render_pt_frame_sharded(
+                    scene, cam, frame, settings.width, settings.height,
+                    mesh, spp=settings.spp, max_len=settings.max_path_len,
+                    has_masks=meta.has_masks,
+                    has_bump=getattr(meta, "has_bump", False),
+                    max_steps=max_steps,
+                )
+            return core, cam
+
+        def core(frame, cam):
             return render_pt_frame(
                 scene, cam, frame, settings.width, settings.height,
                 spp=settings.spp, max_len=settings.max_path_len,
@@ -82,7 +117,7 @@ def make_frame_fn(scene, meta, settings: RenderSettings):
                 has_bump=getattr(meta, "has_bump", False),
                 max_steps=max_steps,
             )
-        return frame_fn, cam
+        return core, cam
 
     vcm_algo = ALGO_MAP.get(algo)
     if vcm_algo is None or vcm_algo == "pt-dedicated":
@@ -97,7 +132,27 @@ def make_frame_fn(scene, meta, settings: RenderSettings):
 
     lpc = settings.resolved_light_path_count()
 
-    def frame_fn(frame):
+    if mesh is not None:
+        from ..parallel.shard import render_vcm_frame_sharded
+
+        n_dev = mesh.devices.size
+        lpc = ((lpc + n_dev - 1) // n_dev) * n_dev  # round up to the mesh
+
+        def core(frame, cam):
+            return render_vcm_frame_sharded(
+                scene, cam, frame, base_radius, mesh,
+                algo=vcm_algo, width=settings.width, height=settings.height,
+                spp=settings.spp, max_len=settings.max_path_len,
+                light_path_count=lpc,
+                num_connections=settings.num_connections,
+                num_knn=settings.num_knn,
+                has_masks=meta.has_masks,
+                has_bump=getattr(meta, "has_bump", False),
+                max_steps=max_steps,
+            )
+        return core, cam
+
+    def core(frame, cam):
         return render_vcm_frame(
             scene, cam, frame, base_radius,
             algo=vcm_algo, width=settings.width, height=settings.height,
@@ -110,4 +165,4 @@ def make_frame_fn(scene, meta, settings: RenderSettings):
             max_steps=max_steps,
         )
 
-    return frame_fn, cam
+    return core, cam

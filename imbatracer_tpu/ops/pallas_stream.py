@@ -1,41 +1,63 @@
-"""Pallas TPU kernel: HBM-streamed ray-stream traversal (the round-2
-big-scene path; removes the VMEM-resident chunked kernel's 80k-triangle
-cap).
+"""Pallas TPU kernel: HBM-streamed ray-stream traversal (the big-scene
+path; no VMEM triangle cap).
 
 Plays the role of the reference's external traversal kernels
 (reference: render/scheduling/ray_queue.h:254-341) for arbitrarily large
-scenes.  Design, driven by measured TPU behaviour (scripts/probe_mosaic.py):
+scenes.  Design, driven by measured TPU behaviour (scripts/probe_mosaic.py,
+scripts/stream_ablate.py):
 
 * Triangles live in HBM as per-super-chunk *tiles* of 1024 triangles in
   BVH-leaf (DFS) order, stored **component-major** (components on
   sublanes, triangles on lanes) so the tile is dense and 128-lane
-  aligned — Mosaic pads narrow minor dims to 128 and refuses unaligned
-  DMA slices, so an AoS (tri, 12) layout would waste 10.7x HBM/DMA.
-  One tile is a single 96 KB DMA, double-buffered; **no VMEM residency
-  cap**.
+  aligned.  One tile is a single 96 KB DMA, double-buffered; **no VMEM
+  residency cap**.
 * Per ray block (BLK rays) the *candidate super-chunk list* is computed
   OUTSIDE the kernel with flat vectorised slab tests (no gathers) and
-  sorted front-to-back by entry t so the kernel's shrinking best-t kills
-  far candidates early.  Lists ride in SMEM; the kernel walks them with
-  a dynamic-bound fori (3.9 ns/iter measured).
-* All in-kernel math runs rays-on-sublanes x entities-on-lanes:
-  chunk culling is one (BLK, 64) slab test; Moller-Trumbore runs per
-  *group* of 128 triangles as (BLK, 128) ops (full lane utilisation,
-  and exactly the ray-major orientation an MXU feature-matmul upgrade
-  needs).  Groups are skipped via scalar compaction into an SMEM list —
-  a per-group `pl.when(jnp.any(...))` costs ~146 ns (measured), the
-  compaction pattern ~10 ns.
+  sorted front-to-back by block-min entry t.  Lists ride in SMEM.
+* The kernel walks candidates with an **early-exit while loop**: it
+  maintains the block's worst live ray distance (max best-t for closest
+  hit; max tmax over unoccluded lanes for occlusion) in SMEM and stops
+  the moment the next candidate's entry t is beyond it — with a
+  front-to-back list most of the tail is never touched (and never
+  DMA'd).  Tile k+1 is prefetched while k is processed; a prefetch that
+  the shrinking exit bound later invalidates is drained after the loop
+  so semaphores stay balanced.
+* Möller-Trumbore runs on the **MXU as feature dot products**: all four
+  MT scalars are ray-feature · triangle-feature contractions
+      det   = -(d·n)                        n  = e1 x e2
+      u_num =  (o x d)·e2 + d·(v0 x e2)
+      v_num = -(o x d)·e1 + d·(e1 x v0)
+      t_num =  o·n - v0·n
+  so a 128-triangle group costs three (BLK,8)x(8,128) matmuls plus a
+  short elementwise epilogue, instead of ~60 VPU ops per (ray,tri) pair
+  (measured 2.7x on the full kernel).  Triangle features are
+  precomputed on the host into the tile rows (layout below).  Features
+  are **recentred** (v0 - scene/mesh centre, matching recentred ray
+  origins) so the o x d term stays small: the feature form loses
+  ~|o|*eps of precision otherwise.
+* All in-kernel math runs rays-on-sublanes x entities-on-lanes: chunk
+  culling is one (BLK, 64) slab test; groups are skipped via scalar
+  compaction into an SMEM list.
 
 Data layouts:
   raysT  : (R, 8)  [ox oy oz tmin dx dy dz tmax] rows=rays, R % BLK == 0
-  sbox   : (S, 8)  super-chunk bboxes [lo.xyz, hi.xyz, pad2]
-  tiles  : (S, 24, 1024) per-super-chunk tile, lanes = triangle slot:
-              rows 0..9   v0.x v0.y v0.z e1.x e1.y e1.z e2.x e2.y e2.z id
-              row  10     reserved (alpha-mask texture id)
-              row  11     reserved
-              rows 12..17 chunk bboxes lo.x lo.y lo.z hi.x hi.y hi.z in
-                          lanes 0..63 (chunk c = triangle lanes 16c..16c+15)
-              rows 18..23 reserved
+           (origins recentred by the caller for non-instanced scenes)
+  sbox   : (S, 8)  super-chunk bboxes [lo.xyz, hi.xyz, pad2] (recentred)
+  tiles  : (S, 24, 1024) per-super-chunk tile, lanes = triangle slot,
+           rows in three 8-row matmul blocks (junk rows in a block are
+           cancelled by structural zeros in the ray-feature LHS):
+              0..2   n = e1 x e2
+              3      v0·n
+              4      triangle id (as f32)
+              5      mask-texture id (as f32; -1 = opaque)
+              6..7   chunk-bbox lo.x / lo.y   (lanes 0..63)
+              8..10  v0 x e2
+              11..13 e2
+              14..15 chunk-bbox lo.z / hi.x   (lanes 0..63)
+              16..18 e1 x v0
+              19..21 -e1
+              22..23 chunk-bbox hi.y / hi.z   (lanes 0..63)
+           (chunk c = triangle lanes 16c..16c+15)
   out    : (R, 8)  [t u v id 0...] rows=rays
 """
 
@@ -56,30 +78,74 @@ TRI_ROWS = CHUNK * SUPER          # 1024 triangles per tile
 TILE_ROWS = 24
 BIG = 1e30
 
+# Chunk-bbox component -> (tile row, see layout above).
+_CBOX_ROWS = (6, 7, 14, 15, 22, 23)
+
 
 # --------------------------------------------------------------------------
 # Host-side tile packing
 # --------------------------------------------------------------------------
 
-def pack_stream_tiles(tri_v0, tri_e1, tri_e2, tri_id):
-    """(sbox (S,8), tiles (S,24,1024)) from packed-leaf-order triangles.
+def pack_stream_tiles(tri_v0, tri_e1, tri_e2, tri_id, tri_mask=None):
+    """(sbox (S,8), tiles (S,24,1024), center (3,)) from packed-leaf-order
+    triangles.
 
     Triangles arrive in BVH DFS order (spatially coherent); padding slots
-    have id -1 and degenerate far-away geometry."""
+    have id -1 and zero edges (=> zero features, det 0, never hit).
+    Geometry is recentred around the scene bbox centre; callers must
+    subtract `center` from ray origins (render/traverse.py does).
+    `tri_mask`: optional (P,) i32 mask-texture id per packed triangle."""
     from ..accel.flatten import pack_chunks
 
-    sbox, cbox, tris12 = pack_chunks(tri_v0, tri_e1, tri_e2, tri_id)
+    valid = tri_id >= 0
+    if valid.any():
+        va = tri_v0[valid]
+        vb = va + tri_e1[valid]
+        vc = va + tri_e2[valid]
+        lo = np.minimum(np.minimum(va.min(0), vb.min(0)), vc.min(0))
+        hi = np.maximum(np.maximum(va.max(0), vb.max(0)), vc.max(0))
+        center = ((lo + hi) * 0.5).astype(np.float32)
+    else:
+        center = np.zeros(3, np.float32)
+
+    sbox, cbox, tris12 = pack_chunks(tri_v0 - center, tri_e1, tri_e2, tri_id)
     num_s = sbox.shape[0]
-    tiles = np.zeros((num_s, TILE_ROWS, TRI_ROWS), np.float32)
     t = tris12.reshape(num_s, TRI_ROWS, 12)
-    for c in range(10):           # v0(3) e1(3) e2(3) id(1), component-major
-        tiles[:, c, :] = t[:, :, c]
+    v0 = t[:, :, 0:3]
+    e1 = t[:, :, 3:6]
+    e2 = t[:, :, 6:9]
+    tid = t[:, :, 9]
+    # Padding slots carry v0 = 1e30 (pack_chunks) with zero edges; zero
+    # the position so v0·n-style features stay finite-by-construction.
+    pad = tid < 0.0
+    v0 = np.where(pad[:, :, None], 0.0, v0)
+
+    n = np.cross(e1, e2)
+    tiles = np.zeros((num_s, TILE_ROWS, TRI_ROWS), np.float32)
+    for c in range(3):
+        tiles[:, 0 + c, :] = n[:, :, c]
+    tiles[:, 3, :] = (v0 * n).sum(-1)
+    tiles[:, 4, :] = tid
+    if tri_mask is not None:
+        m = np.full(TRI_ROWS * num_s, -1.0, np.float32)
+        m[: tri_mask.shape[0]] = tri_mask.astype(np.float32)
+        tiles[:, 5, :] = m.reshape(num_s, TRI_ROWS)
+    else:
+        tiles[:, 5, :] = -1.0
+    v0xe2 = np.cross(v0, e2)
+    e1xv0 = np.cross(e1, v0)
+    for c in range(3):
+        tiles[:, 8 + c, :] = v0xe2[:, :, c]
+        tiles[:, 11 + c, :] = e2[:, :, c]
+        tiles[:, 16 + c, :] = e1xv0[:, :, c]
+        tiles[:, 19 + c, :] = -e1[:, :, c]
+
     cb = cbox.reshape(num_s, SUPER, 8)
     for c in range(6):
-        tiles[:, 12 + c, :SUPER] = cb[:, :, c]
+        tiles[:, _CBOX_ROWS[c], :SUPER] = cb[:, :, c]
     # Empty-chunk padding boxes are (+BIG, -BIG) from pack_chunks; lanes
     # SUPER.. of the bbox rows are zero and never read (slices stop at 64).
-    return sbox, tiles
+    return sbox, tiles, center
 
 
 # --------------------------------------------------------------------------
@@ -94,12 +160,12 @@ def _safe_inv(x):
 def superchunk_candidates(rays8t, sbox):
     """Per-block candidate super-chunks, sorted front-to-back.
 
-    Returns (slist (B,1,S) i32, scount (B,1,1) i32): slist[b,0,:scount[b]]
-    are the super-chunks any ray of block b can hit, ordered by the
-    block-min entry t.  Vectorised slab tests in groups of 8 super-chunks
-    (bounds the (G, R) intermediates; no data-dependent shapes).  The 3-D
-    shapes exist because Mosaic requires the last two dims of a block to
-    be full (or 8/128-aligned): the per-grid-step dim must lead."""
+    Returns (slist (B,1,S) i32, skey (B,1,S) f32, scount (B,1,1) i32):
+    slist[b,0,:scount[b]] are the super-chunks any ray of block b can
+    hit, ordered by the block-min entry t; skey carries those entry ts
+    (BIG past the count) for the kernel's early-exit bound.  Vectorised
+    slab tests in groups of 8 super-chunks (bounds the (G, R)
+    intermediates; no data-dependent shapes)."""
     num_s = sbox.shape[0]
     num_r = rays8t.shape[1]
     num_b = num_r // BLK
@@ -133,9 +199,13 @@ def superchunk_candidates(rays8t, sbox):
 
     hit = jnp.concatenate(hit_rows, axis=0)[:num_s].T    # (B, S)
     key = jnp.concatenate(key_rows, axis=0)[:num_s].T
-    order = jnp.argsort(jnp.where(hit, key, BIG), axis=1).astype(jnp.int32)
+    masked = jnp.where(hit, key, BIG)
+    idx = jnp.broadcast_to(
+        jnp.arange(num_s, dtype=jnp.int32)[None, :], masked.shape
+    )
+    skey, order = jax.lax.sort((masked, idx), num_keys=1)
     count = jnp.sum(hit, axis=1).astype(jnp.int32)
-    return order[:, None, :], count[:, None, None]
+    return order[:, None, :], skey[:, None, :], count[:, None, None]
 
 
 # --------------------------------------------------------------------------
@@ -179,13 +249,13 @@ def _slab_row(sb, ox, oy, oz, ix, iy, iz):
 
 
 def _chunk_slab(tile, slot, ox, oy, oz, ix, iy, iz):
-    """(BLK, 64) chunk slab test from tile rows 12..17 (lanes 0..63)."""
-    lox = tile[slot, 12:13, 0:SUPER]
-    loy = tile[slot, 13:14, 0:SUPER]
+    """(BLK, 64) chunk slab test from the tile's chunk-bbox rows."""
+    lox = tile[slot, 6:7, 0:SUPER]
+    loy = tile[slot, 7:8, 0:SUPER]
     loz = tile[slot, 14:15, 0:SUPER]
     hix = tile[slot, 15:16, 0:SUPER]
-    hiy = tile[slot, 16:17, 0:SUPER]
-    hiz = tile[slot, 17:18, 0:SUPER]
+    hiy = tile[slot, 22:23, 0:SUPER]
+    hiz = tile[slot, 23:24, 0:SUPER]
     tx0 = (lox - ox) * ix          # (BLK, 64)
     tx1 = (hix - ox) * ix
     ty0 = (loy - oy) * iy
@@ -203,38 +273,36 @@ def _chunk_slab(tile, slot, ox, oy, oz, ix, iy, iz):
     return tn, tf
 
 
-def _mt_group(tile, slot, g, ox, oy, oz, dx, dy, dz, tmin, t_limit):
-    """Moller-Trumbore of triangle group g: (BLK, GROUP) ops.
+def _dot(f, rhs):
+    # HIGHEST: full-f32 MXU passes — the default single bf16 pass loses
+    # ~16 mantissa bits and flips edge-boundary hits (measured 9/4096 vs
+    # the classic MT form on TPU); K=8 keeps the extra passes ~free.
+    return jax.lax.dot_general(
+        f, rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _mt_group(tile, slot, g, f_d8, f_o8, f_dc8, tmin, t_limit):
+    """Möller-Trumbore of triangle group g via MXU feature contractions.
 
     Returns (t, u, v, tid, ok), each (BLK, GROUP)."""
     # Alignment hint: without it Mosaic must assume an arbitrary lane
     # offset and emits a dynamic lane-rotate per read.
     lo = pl.multiple_of(g * GROUP, GROUP)
-    v0x = tile[slot, 0:1, pl.ds(lo, GROUP)]
-    v0y = tile[slot, 1:2, pl.ds(lo, GROUP)]
-    v0z = tile[slot, 2:3, pl.ds(lo, GROUP)]
-    e1x = tile[slot, 3:4, pl.ds(lo, GROUP)]
-    e1y = tile[slot, 4:5, pl.ds(lo, GROUP)]
-    e1z = tile[slot, 5:6, pl.ds(lo, GROUP)]
-    e2x = tile[slot, 6:7, pl.ds(lo, GROUP)]
-    e2y = tile[slot, 7:8, pl.ds(lo, GROUP)]
-    e2z = tile[slot, 8:9, pl.ds(lo, GROUP)]
-    tid = tile[slot, 9:10, pl.ds(lo, GROUP)]
+    dn = _dot(f_d8, tile[slot, 0:8, pl.ds(lo, GROUP)])
+    on = _dot(f_o8, tile[slot, 0:8, pl.ds(lo, GROUP)])
+    u_num = _dot(f_dc8, tile[slot, 8:16, pl.ds(lo, GROUP)])
+    v_num = _dot(f_dc8, tile[slot, 16:24, pl.ds(lo, GROUP)])
+    v0n = tile[slot, 3:4, pl.ds(lo, GROUP)]
+    tid = tile[slot, 4:5, pl.ds(lo, GROUP)]
 
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
+    det = -dn
     inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    t = (on - v0n) * inv_det
+    u = u_num * inv_det
+    v = v_num * inv_det
     ok = (
         (inv_det != 0.0)
         & (u >= 0.0)
@@ -278,24 +346,39 @@ def _make_kernel(occl: bool, instanced: bool):
 
     def kernel(*refs):
         if instanced:
-            (rays_ref, sbox_ref, slist_ref, scount_ref, tidx_ref, iinst_ref,
-             itab_ref, tiles_ref, out_ref, acc_ref, tile_ref, gflag_ref,
-             glist_ref, gcnt_ref, sem_ref) = refs
+            (rays_ref, sbox_ref, slist_ref, skey_ref, scount_ref, tidx_ref,
+             iinst_ref, itab_ref, tiles_ref, out_ref, acc_ref, tile_ref,
+             gflag_ref, glist_ref, gcnt_ref, stop_ref, pend_ref,
+             sem_ref) = refs
         else:
-            (rays_ref, sbox_ref, slist_ref, scount_ref, tiles_ref, out_ref,
-             acc_ref, tile_ref, gflag_ref, glist_ref, gcnt_ref, sem_ref) = refs
+            (rays_ref, sbox_ref, slist_ref, skey_ref, scount_ref, tiles_ref,
+             out_ref, acc_ref, tile_ref, gflag_ref, glist_ref, gcnt_ref,
+             stop_ref, pend_ref, sem_ref) = refs
 
         ox, oy, oz, tmin, dx, dy, dz, tmax, ix, iy, iz = _ray_cols(rays_ref)
         zeros = jnp.zeros_like(ox)
         if occl:
             acc_ref[:, 0:1] = zeros
+            # Early-exit bound: the farthest tmax any unoccluded lane
+            # still needs (inactive lanes carry tmax < 0).
+            stop_ref[0] = jnp.max(tmax)
         else:
             acc_ref[:, 0:1] = tmax
             acc_ref[:, 1:2] = zeros
             acc_ref[:, 2:3] = zeros
             acc_ref[:, 3:4] = zeros - 1.0
+            stop_ref[0] = jnp.max(tmax)
+        pend_ref[0] = -1
 
         n = scount_ref[0, 0, 0]
+
+        if not instanced:
+            cc = (oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx)
+            f_d8 = jnp.concatenate([dx, dy, dz] + [zeros] * 5, axis=1)
+            f_o8 = jnp.concatenate([ox, oy, oz] + [zeros] * 5, axis=1)
+            f_dc8 = jnp.concatenate(
+                [dx, dy, dz, cc[0], cc[1], cc[2], zeros, zeros], axis=1
+            )
 
         def tile_dma(k, slot):
             sc = slist_ref[0, 0, k]
@@ -307,20 +390,27 @@ def _make_kernel(occl: bool, instanced: bool):
         @pl.when(n > 0)
         def _():
             tile_dma(0, 0).start()
+            pend_ref[0] = 0
 
-        def body(k, _):
+        def body(carry):
+            k, _ = carry
             slot = jax.lax.rem(k, 2)
 
-            @pl.when(k + 1 < n)
+            tile_dma(k, slot).wait()
+            pend_ref[0] = -1
+
+            # Conservative prefetch against the *current* bound; the
+            # bound only shrinks, so a candidate it rejects stays
+            # rejected (no missed prefetch), and one it admits that the
+            # post-update bound later rejects is drained after the loop.
+            @pl.when((k + 1 < n) & (skey_ref[0, 0, k + 1] < stop_ref[0]))
             def _():
                 tile_dma(k + 1, 1 - slot).start()
+                pend_ref[0] = 1 - slot
 
-            tile_dma(k, slot).wait()
-
-            # Re-check the super-chunk (world space) against the *current*
-            # best t / termination state (the candidate list was built with
-            # the initial tmax; front-to-back ordering makes this prune
-            # most of the tail).
+            # Re-check the super-chunk against the current best t /
+            # termination state (the candidate list was built with the
+            # initial tmax).
             sc = slist_ref[0, 0, k]
             sb = sbox_ref[pl.ds(sc, 1), :]
             stn, stf = _slab_row(sb, ox, oy, oz, ix, iy, iz)
@@ -347,10 +437,19 @@ def _make_kernel(occl: bool, instanced: bool):
                     ciy = sgn(cdy) / jnp.maximum(jnp.abs(cdy), 1e-12)
                     ciz = sgn(cdz) / jnp.maximum(jnp.abs(cdz), 1e-12)
                     id_off = row[:, 12:13]
+                    ccx = coy * cdz - coz * cdy
+                    ccy = coz * cdx - cox * cdz
+                    ccz = cox * cdy - coy * cdx
+                    g_d8 = jnp.concatenate(
+                        [cdx, cdy, cdz] + [zeros] * 5, axis=1)
+                    g_o8 = jnp.concatenate(
+                        [cox, coy, coz] + [zeros] * 5, axis=1)
+                    g_dc8 = jnp.concatenate(
+                        [cdx, cdy, cdz, ccx, ccy, ccz, zeros, zeros], axis=1)
                 else:
                     cox, coy, coz = ox, oy, oz
-                    cdx, cdy, cdz = dx, dy, dz
                     cix, ciy, ciz = ix, iy, iz
+                    g_d8, g_o8, g_dc8 = f_d8, f_o8, f_dc8
                     id_off = None
 
                 tn, tf = _chunk_slab(tile_ref, slot, cox, coy, coz,
@@ -366,8 +465,7 @@ def _make_kernel(occl: bool, instanced: bool):
                     g = glist_ref[j]
                     limit = tmax if occl else acc_ref[:, 0:1]
                     t, u, v, tid, ok = _mt_group(
-                        tile_ref, slot, g, cox, coy, coz, cdx, cdy, cdz,
-                        tmin, limit
+                        tile_ref, slot, g, g_d8, g_o8, g_dc8, tmin, limit
                     )
                     if occl:
                         found = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1,
@@ -397,9 +495,26 @@ def _make_kernel(occl: bool, instanced: bool):
 
                 jax.lax.fori_loop(0, gcnt_ref[0], mt_body, 0)
 
-            return 0
+                # Shrink the exit bound from this candidate's results.
+                if occl:
+                    need = jnp.where(acc_ref[:, 0:1] > 0.0, -BIG, tmax)
+                    stop_ref[0] = jnp.max(need)
+                else:
+                    stop_ref[0] = jnp.max(acc_ref[:, 0:1])
 
-        jax.lax.fori_loop(0, n, body, 0)
+            nk = k + 1
+            go = (nk < n) & (skey_ref[0, 0, nk] < stop_ref[0])
+            return nk, go
+
+        jax.lax.while_loop(lambda c: c[1], body, (0, n > 0))
+
+        # Drain a prefetch the exit bound invalidated.
+        @pl.when(pend_ref[0] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                tiles_ref.at[0], tile_ref.at[pend_ref[0]],
+                sem_ref.at[pend_ref[0]]
+            ).wait()
 
         if occl:
             out_ref[:, 0:1] = acc_ref[:, 0:1]
@@ -411,7 +526,8 @@ def _make_kernel(occl: bool, instanced: bool):
     return kernel
 
 
-def _stream_call(raysT, sbox, slist, scount, tiles, occl=False, inst=None):
+def _stream_call(raysT, sbox, slist, skey, scount, tiles, occl=False,
+                 inst=None):
     num_r = raysT.shape[0]
     num_s = sbox.shape[0]
     instanced = inst is not None
@@ -420,10 +536,12 @@ def _stream_call(raysT, sbox, slist, scount, tiles, occl=False, inst=None):
         pl.BlockSpec((num_s, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, slist.shape[2]), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, skey.shape[2]), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
     ]
-    args = [raysT, sbox, slist, scount]
+    args = [raysT, sbox, slist, skey, scount]
     if instanced:
         tidx, iinst, itab = inst
         in_specs += [
@@ -451,9 +569,87 @@ def _stream_call(raysT, sbox, slist, scount, tiles, occl=False, inst=None):
             pltpu.VMEM((NGROUP, 1), jnp.int32),
             pltpu.SMEM((NGROUP,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(*args)
+
+
+# --------------------------------------------------------------------------
+# Ray stream sorting (bounce/shadow coherence)
+# --------------------------------------------------------------------------
+
+def _part1by2(x):
+    """Spread 8 bits of x to every third bit (Morton interleave helper)."""
+    x = x & 0xFF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def sort_keys(org, d, active, lo, hi):
+    """Spatial sort key per ray: Morton code of the quantised origin
+    (8 bits/axis, major) + direction octant (minor); inactive lanes get
+    the max key so they compact into trailing all-dead blocks whose
+    candidate count is zero (the kernel skips them in one SMEM read).
+
+    The reference's RayQueue::compact + material sort play this role for
+    its wavefront scheduling (ray_queue.h:145-221); here sorting buys
+    per-block candidate-list coherence instead."""
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(((org - lo) / span) * 256.0, 0.0, 255.0).astype(jnp.int32)
+    m = (
+        (_part1by2(q[:, 0]) << 2)
+        | (_part1by2(q[:, 1]) << 1)
+        | _part1by2(q[:, 2])
+    )
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32)
+        + 2 * (d[:, 1] < 0).astype(jnp.int32)
+        + 4 * (d[:, 2] < 0).astype(jnp.int32)
+    )
+    key = (m << 3) | octant
+    return jnp.where(active, key, jnp.int32(2**30))
+
+
+def _scene_bounds(sbox):
+    lo = jnp.min(sbox[:, 0:3], axis=0)
+    hi = jnp.max(sbox[:, 3:6], axis=0)
+    return lo, hi
+
+
+def _sorted_dispatch(fn, sbox, tiles, org, d, tmin, tmax, active, inst):
+    """Sort rays by sort_keys, dispatch fn on the sorted stream, unsort."""
+    num_r = org.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
+    act = jnp.ones((num_r,), jnp.bool_) if active is None else active
+    lo, hi = _scene_bounds(sbox)
+    key = sort_keys(org, d, act, lo, hi)
+    iota = jnp.arange(num_r, dtype=jnp.int32)
+    _, perm = jax.lax.sort((key, iota), num_keys=1)
+    res = fn(sbox, tiles, org[perm], d[perm], tmin[perm], tmax[perm],
+             active=act[perm], inst=inst)
+    _, inv = jax.lax.sort((perm, iota), num_keys=1)
+    if isinstance(res, tuple) or hasattr(res, "t"):
+        from ..render.traverse import Hit
+
+        return Hit(t=res.t[inv], prim_id=res.prim_id[inv], u=res.u[inv],
+                   v=res.v[inv])
+    return res[inv]
+
+
+def closest_hit_sorted(sbox, tiles, org, d, tmin, tmax, active=None,
+                       inst=None):
+    return _sorted_dispatch(closest_hit_stream, sbox, tiles, org, d,
+                            tmin, tmax, active, inst)
+
+
+def any_hit_sorted(sbox, tiles, org, d, tmin, tmax, active=None, inst=None):
+    return _sorted_dispatch(any_hit_stream, sbox, tiles, org, d,
+                            tmin, tmax, active, inst)
 
 
 # --------------------------------------------------------------------------
@@ -483,8 +679,8 @@ def closest_hit_stream(sbox, tiles, org, d, tmin, tmax, active=None,
     from ..render.traverse import Hit
 
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
-    slist, scount = superchunk_candidates(rays8t, sbox)
-    out = _stream_call(rays8t.T, sbox, slist, scount, tiles,
+    slist, skey, scount = superchunk_candidates(rays8t, sbox)
+    out = _stream_call(rays8t.T, sbox, slist, skey, scount, tiles,
                        inst=inst)[:num_r]
     t = out[:, 0]
     prim_id = out[:, 3].astype(jnp.int32)
@@ -494,7 +690,7 @@ def closest_hit_stream(sbox, tiles, org, d, tmin, tmax, active=None,
 
 def any_hit_stream(sbox, tiles, org, d, tmin, tmax, active=None, inst=None):
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
-    slist, scount = superchunk_candidates(rays8t, sbox)
-    out = _stream_call(rays8t.T, sbox, slist, scount, tiles, occl=True,
+    slist, skey, scount = superchunk_candidates(rays8t, sbox)
+    out = _stream_call(rays8t.T, sbox, slist, skey, scount, tiles, occl=True,
                        inst=inst)[:num_r]
     return out[:, 0] > 0.0

@@ -102,6 +102,7 @@ def trace_paths(
         hit = closest_hit(
             scene.bvh, c["org"], c["d"], c["tmin"], BIG,
             alpha_fn=alpha_fn, active=c["active"], max_steps=max_steps,
+            sort=True,
         )
         n_rays = c["n_rays"] + jnp.sum(c["active"].astype(jnp.int32))
 
@@ -176,6 +177,7 @@ def trace_paths(
         occluded = any_hit(
             scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
             alpha_fn=alpha_fn, active=shadow_ok, max_steps=max_steps,
+            sort=True,
         )
         radiance = radiance + jnp.where((shadow_ok & ~occluded)[..., None], contrib, 0.0)
         n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))

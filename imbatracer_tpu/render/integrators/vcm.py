@@ -47,7 +47,8 @@ from ..camera import Camera, generate_ray, raster_to_id, world_to_raster
 from ..film import splat
 from ..hashgrid import build_hash_grid, query_knn
 from ..intersect import BIG
-from ..light_cache import LightVertexCache, append, empty_cache
+from ..light_cache import (LightVertexCache, append, canonicalize,
+                           empty_cache)
 from ..surface import make_interaction
 from ..traverse import any_hit, closest_hit
 from .pt import alpha_fn_for, camera_rays
@@ -130,23 +131,33 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
     )
     d_vm = d_vc * mis_eta_vc
 
+    # Constant carry inits must be *derived from inputs* so they are
+    # device-varying under shard_map (same rule as pt.trace_paths; a
+    # replicated init whose loop-carried value becomes varying is a
+    # shard_map type error).
+    fz = 0.0 * jnp.sum(es.dir[:1])                   # varying f32 zero
+    iz = 0 * path_id[0]                              # varying i32 zero
+    _vary = lambda a: a + (iz.astype(a.dtype)
+                           if jnp.issubdtype(a.dtype, jnp.integer)
+                           else fz.astype(a.dtype))
+    cache0 = empty_cache(cache_capacity) if cache_in is None else cache_in
     carry = dict(
-        org=es.pos,
+        org=es.pos + fz,  # point/dir emitter positions can be constant
         d=es.dir,
-        tmin=jnp.full((L,), 1e-3, jnp.float32),
+        tmin=jnp.full((L,), 1e-3, jnp.float32) + fz,
         throughput=throughput,
         active=(es.pdf_emit_w > 0.0) & jnp.any(es.radiance != 0.0, axis=-1),
         finite=es.is_finite,
         d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm,
         state=state,
-        film=jnp.zeros((num_pixels, 3), jnp.float32),
-        cache=empty_cache(cache_capacity) if cache_in is None else cache_in,
+        film=jnp.zeros((num_pixels, 3), jnp.float32) + fz,
+        cache=jax.tree.map(_vary, cache0),
     )
 
     def body(i, c):
         hit = closest_hit(scene.bvh, c["org"], c["d"], c["tmin"], BIG,
                           alpha_fn=alpha_fn, active=c["active"],
-                          max_steps=max_steps)
+                          max_steps=max_steps, sort=True)
         # Light rays ignore the environment (vcm.cpp:210-212).
         active = c["active"] & (hit.prim_id >= 0)
         isect = make_interaction(scene, hit, c["org"], c["d"], has_bump=has_bump)
@@ -172,15 +183,18 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
             cache = append(
                 cache, store, isect.pos, isect.w_out, isect.normal, isect.gn,
                 isect.uv, isect.mat_id, c["throughput"], d_vc, d_vcm, d_vm,
-                jnp.full((L,), i + 2, jnp.int32),
+                jnp.full((L,), i + 2, jnp.int32), path_id,
             )
 
         # Connect every non-specular vertex to the camera (vcm.cpp:260-320).
+        # NB: normalise by the GLOBAL light_path_count, not the band size
+        # L — banding must not change the estimator (a 1024² frame runs
+        # the light pass in multiple bands).
         if algo != "ppm" and "cam_connect" in techniques:
             film = film + _connect_to_camera(
                 scene, cam, isect, c["throughput"], d_vc, d_vcm,
-                active & non_spec, mis_eta_vm, L, num_pixels, algo, alpha_fn,
-                max_steps,
+                active & non_spec, mis_eta_vm, light_path_count, num_pixels,
+                algo, alpha_fn, max_steps,
             )
 
         # Adjoint bounce (vcm.cpp:134-190).
@@ -236,7 +250,8 @@ def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
 
     offset = dist * 1e-3
     occluded = any_hit(scene.bvh, isect.pos, dir_c, offset, dist - offset,
-                       alpha_fn=alpha_fn, active=valid, max_steps=max_steps)
+                       alpha_fn=alpha_fn, active=valid, max_steps=max_steps,
+                       sort=True)
     ok = valid & ~occluded
     return splat(jnp.where(ok[..., None], contrib, 0.0),
                  jnp.where(ok, pixel, -1), num_pixels)
@@ -340,21 +355,25 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
     pdf_cam_w = (cam.img_plane_dist / cos_o) ** 2 / cos_o
     d_vcm0 = mis_pow(light_path_count / pdf_cam_w)
 
-    zero1 = jnp.zeros_like(org[:, 0])
+    # fz: device-varying f32 zero — constant carry inits must be varying
+    # under shard_map (see _light_pass).
+    fz = 0.0 * jnp.sum(d[:1])
+    zero1 = jnp.zeros_like(org[:, 0]) + fz
     carry = dict(
-        org=org, d=d,
+        org=org + fz,  # pinhole origins are a constant broadcast
+        d=d,
         tmin=zero1,
-        throughput=jnp.ones_like(org),
-        radiance=jnp.zeros_like(org),
+        throughput=jnp.ones_like(org) + fz,
+        radiance=jnp.zeros_like(org) + fz,
         active=zero1 < 1.0,
-        d_vc=zero1, d_vcm=d_vcm0, d_vm=zero1,
+        d_vc=zero1, d_vcm=d_vcm0 + fz, d_vm=zero1,
         state=state,
     )
 
     def body(i, c):
         hit = closest_hit(scene.bvh, c["org"], c["d"], c["tmin"], BIG,
                           alpha_fn=alpha_fn, active=c["active"],
-                          max_steps=max_steps)
+                          max_steps=max_steps, sort=True)
         radiance = c["radiance"]
 
         # --- env misses (vcm.cpp:338-365) -------------------------------
@@ -493,7 +512,8 @@ def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
     ok = ok & jnp.any(contrib > 0.0, axis=-1)
     offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
     occluded = any_hit(scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
-                       alpha_fn=alpha_fn, active=ok, max_steps=max_steps)
+                       alpha_fn=alpha_fn, active=ok, max_steps=max_steps,
+                       sort=True)
     if enabled:
         radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
     return state, radiance
@@ -556,7 +576,8 @@ def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
 
     offset = 1e-3 * dist
     occluded = any_hit(scene.bvh, isect.pos, cdir, offset, dist - offset,
-                       alpha_fn=alpha_fn, active=ok, max_steps=max_steps)
+                       alpha_fn=alpha_fn, active=ok, max_steps=max_steps,
+                       sort=True)
     if enabled:
         radiance = radiance + jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
     return state, radiance
@@ -734,6 +755,10 @@ def render_vcm_frame(
                 band_paths=bp,
             )
             film = film + light_film
+        # Canonical (path, bounce) cache order: makes the layout — and the
+        # RNG-indexed vertex sampling downstream — independent of the
+        # band/shard schedule (see light_cache.canonicalize).
+        cache = canonicalize(cache)
         if algo in ("vcm", "ppm"):
             grid = _vcm_build_grid(
                 cache, frame, base_radius, table_size=table_size,

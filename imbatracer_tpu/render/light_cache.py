@@ -17,6 +17,7 @@ plus throughput and the dVC/dVCM/dVM partial MIS weights.
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 
@@ -33,6 +34,7 @@ class LightVertexCache:
     d_vcm: jnp.ndarray       # (C,)
     d_vm: jnp.ndarray        # (C,)
     path_length: jnp.ndarray  # (C,) i32
+    path_id: jnp.ndarray     # (C,) i32 global light-path index
     count: jnp.ndarray       # () i32 number of valid vertices
 
     @property
@@ -43,7 +45,8 @@ class LightVertexCache:
         """Wide-record view (C, 24) for fast per-vertex gathers:
         [pos(0:3), w_out(3:6), normal(6:9), gn(9:12), uv(12:14),
          mat_id(14, i32 bits), throughput(15:18), dVC(18), dVCM(19),
-         dVM(20), path_length(21, i32 bits), pad(22:24)].
+         dVM(20), path_length(21, i32 bits), path_id(22, i32 bits),
+         pad(23)].
         One gather per vertex access in connect/merge instead of ~8
         narrow ones (each dynamic gather costs ~3.3 ms/1M lanes flat)."""
         import jax.lax
@@ -57,7 +60,8 @@ class LightVertexCache:
                 self.throughput,
                 self.d_vc[:, None], self.d_vcm[:, None], self.d_vm[:, None],
                 bits(self.path_length)[:, None],
-                jnp.zeros((cap, 2), jnp.float32),
+                bits(self.path_id)[:, None],
+                jnp.zeros((cap, 1), jnp.float32),
             ],
             axis=1,
         )
@@ -73,12 +77,14 @@ def empty_cache(capacity: int) -> LightVertexCache:
         throughput=z3,
         d_vc=z, d_vcm=z, d_vm=z,
         path_length=jnp.zeros((capacity,), jnp.int32),
+        path_id=jnp.zeros((capacity,), jnp.int32),
         count=jnp.zeros((), jnp.int32),
     )
 
 
 def append(cache: LightVertexCache, valid, pos, w_out, normal, gn, uv, mat_id,
-           throughput, d_vc, d_vcm, d_vm, path_length) -> LightVertexCache:
+           throughput, d_vc, d_vcm, d_vm, path_length,
+           path_id) -> LightVertexCache:
     """Scatter-append the `valid` rows of a batch into the cache.
 
     Slots are assigned by an exclusive prefix sum over the valid mask
@@ -108,5 +114,34 @@ def append(cache: LightVertexCache, valid, pos, w_out, normal, gn, uv, mat_id,
         d_vcm=put(cache.d_vcm, d_vcm),
         d_vm=put(cache.d_vm, d_vm),
         path_length=put(cache.path_length, path_length),
+        path_id=put(cache.path_id, path_id),
         count=new_count,
+    )
+
+
+@jax.jit
+def canonicalize(cache: LightVertexCache) -> LightVertexCache:
+    """Sort valid vertices into (path_id, path_length) order.
+
+    Band/bounce append order is an implementation detail: the single-chip
+    renderer appends bounce-major within a band, the sharded renderer
+    (parallel/shard.py) shard-major.  Sorting to the canonical key makes
+    the cache layout — and everything derived from it (hash grid,
+    connection vertex sampling) — identical across those schedules, so
+    multi-chip frames bit-match single-chip ones.  One 24-wide-record
+    gather + slicing; the sort itself is sub-ms at 1M entries."""
+    cap = cache.capacity
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < cache.count
+    key = jnp.where(valid, cache.path_id * 64 + cache.path_length,
+                    jnp.int32(2**31 - 1))
+    _, order = jax.lax.sort((key, idx), num_keys=1)
+    rec = cache.packed()[order]
+    bits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
+    return LightVertexCache(
+        pos=rec[:, 0:3], w_out=rec[:, 3:6], normal=rec[:, 6:9],
+        gn=rec[:, 9:12], uv=rec[:, 12:14], mat_id=bits(14),
+        throughput=rec[:, 15:18], d_vc=rec[:, 18], d_vcm=rec[:, 19],
+        d_vm=rec[:, 20], path_length=bits(21), path_id=bits(22),
+        count=cache.count,
     )

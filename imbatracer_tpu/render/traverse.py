@@ -108,7 +108,11 @@ def _mt_packet(leaf_t, j, ox, oy, oz, dx, dy, dz, tmin, tmax, alpha_fn):
 
 def _prep(org, d, tmin, tmax, active):
     num_r = org.shape[0]
-    vary = jnp.zeros_like(org[:, 0])
+    # Data-dependent zero: scalar tmin/tmax broadcasts must inherit the
+    # rays' device-varying type under shard_map (zeros_like is a constant
+    # fill and does NOT — the traversal loop carry would be typed
+    # replicated-in / varying-out, a shard_map error).
+    vary = (org[:, 0] + d[:, 0]) * 0.0  # org alone can be a constant
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,)) + vary
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,)) + vary
     ox, oy, oz = _components(org)
@@ -185,10 +189,19 @@ def _inst(bvh):
     return None
 
 
+def _recenter(bvh, org):
+    """Shift ray origins into the tiles' recentred frame (pallas_stream
+    precision contract; zero offset for "stream2")."""
+    if bvh.center is None:
+        return org
+    return org - bvh.center[None, :]
+
+
 def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active):
     """Closest hit with transparency masks via iterative re-tracing."""
     from ..ops.pallas_stream import closest_hit_stream
 
+    org = _recenter(bvh, org)
     num_r = org.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
@@ -276,7 +289,7 @@ def _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, want_hit):
     return occluded
 
 
-@partial(jax.jit, static_argnames=("alpha_fn", "max_steps"))
+@partial(jax.jit, static_argnames=("alpha_fn", "max_steps", "sort"))
 def closest_hit(
     bvh: DeviceBvh,
     org: jnp.ndarray,
@@ -286,11 +299,16 @@ def closest_hit(
     alpha_fn: Optional[Callable] = None,
     active: Optional[jnp.ndarray] = None,
     max_steps: int = 0,
+    sort: bool = False,
 ) -> Hit:
     """Closest-hit traversal for a batch of rays.
 
     org/d: (R, 3); tmin/tmax: scalar or (R,).  Lanes where `active` is
     False skip traversal entirely (start at the terminal node).
+    `sort=True` (stream modes) sorts the batch by origin-Morton +
+    direction octant before dispatch — incoherent bounce/shadow batches
+    get coherent per-block candidate lists, and dead lanes compact into
+    zero-work blocks (the reference's RayQueue::compact analogue).
 
     The loop is a *static-trip* fori_loop: a data-dependent while-loop
     condition would synchronise with the host every iteration (measured
@@ -302,11 +320,12 @@ def closest_hit(
     if bvh.mode == "dense" or max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, True)
     if bvh.mode in ("stream", "stream2"):
-        from ..ops.pallas_stream import closest_hit_stream
+        from ..ops.pallas_stream import closest_hit_sorted, closest_hit_stream
 
         if alpha_fn is None:
-            return closest_hit_stream(bvh.sbox, bvh.tiles, org, d, tmin,
-                                      tmax, active=active, inst=_inst(bvh))
+            fn = closest_hit_sorted if sort else closest_hit_stream
+            return fn(bvh.sbox, bvh.tiles, _recenter(bvh, org), d, tmin,
+                      tmax, active=active, inst=_inst(bvh))
         return _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
@@ -350,7 +369,7 @@ def closest_hit(
     return Hit(t=t, prim_id=prim_id, u=u, v=v)
 
 
-@partial(jax.jit, static_argnames=("alpha_fn", "max_steps"))
+@partial(jax.jit, static_argnames=("alpha_fn", "max_steps", "sort"))
 def any_hit(
     bvh: DeviceBvh,
     org: jnp.ndarray,
@@ -360,6 +379,7 @@ def any_hit(
     alpha_fn: Optional[Callable] = None,
     active: Optional[jnp.ndarray] = None,
     max_steps: int = 0,
+    sort: bool = False,
 ) -> jnp.ndarray:
     """Occlusion query: True where *any* primitive blocks (tmin, tmax).
 
@@ -369,11 +389,12 @@ def any_hit(
     if bvh.mode == "dense" or max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, False)
     if bvh.mode in ("stream", "stream2"):
-        from ..ops.pallas_stream import any_hit_stream
+        from ..ops.pallas_stream import any_hit_sorted, any_hit_stream
 
         if alpha_fn is None:
-            return any_hit_stream(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
-                                  active=active, inst=_inst(bvh))
+            fn = any_hit_sorted if sort else any_hit_stream
+            return fn(bvh.sbox, bvh.tiles, _recenter(bvh, org),
+                      d, tmin, tmax, active=active, inst=_inst(bvh))
         hit = _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)
         return hit.prim_id >= 0
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(

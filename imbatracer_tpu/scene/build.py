@@ -298,7 +298,8 @@ def _scene_lights(desc: SceneDesc):
     return rows
 
 
-def build_scene(scene_path: str, quiet: bool = False):
+def build_scene(scene_path: str, quiet: bool = False,
+                spatial: bool = False):
     """Load + build everything. Returns (DeviceScene, SceneMeta)."""
     t_start = time.time()
     desc = parse_scene_file(scene_path)
@@ -379,6 +380,7 @@ def build_scene(scene_path: str, quiet: bool = False):
     device_scene = assemble_device_scene(
         v0, v1, v2, attrs, conv.rows, light_rows, conv.textures, env,
         cache_file=cache_file, cache_key=cache_key, two_level=two_level,
+        spatial=spatial,
     )
     has_masks = any(m["mask_tex"] >= 0 for m in conv.rows)
     has_bump = any(m["bump_tex"] >= 0 for m in conv.rows)
@@ -408,7 +410,7 @@ def _geom_normals(v0, v1, v2):
 
 def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env,
                           cache_file: str = "", cache_key: str = "",
-                          two_level=None):
+                          two_level=None, spatial: bool = False):
     """Shared tail of scene construction: BVH build + device upload.
 
     Used by both the file-based builder and procedural scenes
@@ -438,20 +440,30 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
     elif cache_file:
         from ..io import bvh_cache
 
+        if spatial:
+            cache_key = cache_key + ":sbvh"
         threaded = bvh_cache.load_accel(cache_file, cache_key)
         if threaded is not None:
             logger.info("BVH loaded from cache: %s", threaded.stats)
     if threaded is None and two_level_bvh is None:
         t_bvh = time.time()
         blo, bhi = triangle_bboxes(v0, v1, v2)
-        # Native C++ builder (accel/cpp) with NumPy fallback.
-        from ..accel.native import build_bvh_native
+        if spatial:
+            # Quality build: spatial splits (reference SplitBvhBuilder,
+            # core/sbvh_builder.h) — slower, cached on disk.
+            from ..accel.sbvh import build_sbvh
 
-        nodes = build_bvh_native(blo, bhi)
-        if nodes is None:
-            nodes = build_bvh(blo, bhi)
+            nodes = build_sbvh(blo, bhi, np.stack([v0, v1, v2], axis=1))
+        else:
+            # Native C++ builder (accel/cpp) with NumPy fallback.
+            from ..accel.native import build_bvh_native
+
+            nodes = build_bvh_native(blo, bhi)
+            if nodes is None:
+                nodes = build_bvh(blo, bhi)
         threaded = thread_bvh(nodes, v0, v1, v2)
-        logger.info("BVH: %s in %.2fs", threaded.stats, time.time() - t_bvh)
+        logger.info("BVH%s: %s in %.2fs", " (sbvh)" if spatial else "",
+                    threaded.stats, time.time() - t_bvh)
         if cache_file:
             from ..io import bvh_cache
 

@@ -78,16 +78,17 @@ def check_correct():
     from imbatracer_tpu.render.traverse import Hit
 
     tb = boxes_scene(25)  # 302 tris
-    sbox, tiles = ps.pack_stream_tiles(tb.tri_v0, tb.tri_e1, tb.tri_e2, tb.tri_id)
+    sbox, tiles, center = ps.pack_stream_tiles(tb.tri_v0, tb.tri_e1, tb.tri_e2, tb.tri_id)
     sboxj, tilesj = jnp.asarray(sbox), jnp.asarray(tiles)
-    org, d = scattered_rays(4096)
+    org0, d = scattered_rays(4096)
+    org = org0 - center[None, :]
     BIG = ps.BIG
 
     from imbatracer_tpu.render.traverse import closest_hit, any_hit
 
     xbvh = DeviceBvh.from_threaded(tb, mode="xla")
     h_st = ps.closest_hit_stream(sboxj, tilesj, org, d, 0.0, BIG)
-    h_ch = closest_hit(xbvh, org, d, 0.0, BIG)
+    h_ch = closest_hit(xbvh, org0, d, 0.0, BIG)
     bad = int(jnp.sum(h_st.prim_id != h_ch.prim_id))
     print(f"closest stream-vs-xla mismatches: {bad}/4096")
     assert bad == 0
@@ -97,7 +98,7 @@ def check_correct():
     )
 
     occ_st = ps.any_hit_stream(sboxj, tilesj, org, d, 0.0, jnp.full((4096,), 3.0))
-    occ_ch = any_hit(xbvh, org, d, 0.0, jnp.full((4096,), 3.0))
+    occ_ch = any_hit(xbvh, org0, d, 0.0, jnp.full((4096,), 3.0))
     bad = int(jnp.sum(occ_st != occ_ch))
     print(f"anyhit  stream-vs-xla mismatches: {bad}/4096")
     assert bad == 0
@@ -112,9 +113,10 @@ def check_correct():
 
 
 def bench(tb, n_rays, label, rays_fn, iters=24):
-    sbox, tiles = ps.pack_stream_tiles(tb.tri_v0, tb.tri_e1, tb.tri_e2, tb.tri_id)
+    sbox, tiles, center = ps.pack_stream_tiles(tb.tri_v0, tb.tri_e1, tb.tri_e2, tb.tri_id)
     sboxj, tilesj = jnp.asarray(sbox), jnp.asarray(tiles)
     org, d = rays_fn(n_rays)
+    org = org - center[None, :]
 
     def make(k):
         @jax.jit

@@ -1,13 +1,15 @@
 """Ablate the streamed kernel to find the per-candidate cost breakdown.
 
 Levels:
-  0 = full kernel
-  1 = no MT (compaction still runs)
-  2 = no compaction/MT (superchunk slab + any only)
-  3 = DMA + loop only (no slab/any)
-  4 = loop only (no DMA)
-  5 = kernel body empty (grid + pipeline overhead)
-  6 = no kernel at all (XLA candidates pass only)
+  6  = no kernel at all (XLA candidates pass only)
+  5  = kernel body empty (grid + pipeline overhead)
+  4  = early-exit while loop only (no DMA/work; bound never shrinks)
+  3  = 4 + double-buffered DMA + drain
+  2  = 3 + per-candidate superchunk slab re-check
+  1  = 2 + chunk slab + group compaction
+  0  = full kernel, MXU feature-matmul MT (production)
+  0v = full kernel, VPU classic MT from tile features (control)
+  f0 = full matmul MT but fori loop over all n candidates (no early exit)
 """
 
 import sys
@@ -24,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from imbatracer_tpu.ops import pallas_stream as ps
 from imbatracer_tpu.ops.pallas_stream import (
-    BLK, SUPER, TILE_ROWS, TRI_ROWS, NGROUP, BIG,
+    BLK, SUPER, TILE_ROWS, TRI_ROWS, NGROUP, GROUP, BIG,
     _ray_cols, _slab_row, _chunk_slab, _mt_group, _compact_groups,
     superchunk_candidates, _rays8t,
 )
@@ -32,16 +34,28 @@ from bench_stream import boxes_scene, primary_rays, scattered_rays
 
 
 def make_kernel(level):
-    def kern(rays_ref, sbox_ref, slist_ref, scount_ref, tiles_ref,
-             out_ref, best_ref, tile_ref, gflag_ref, glist_ref, gcnt_ref,
-             sem_ref):
+    early_exit = level != "f0"
+    matmul_mt = level in (0, "f0")
+    lvl = 0 if level in ("0v", "f0") else level
+
+    def kern(rays_ref, sbox_ref, slist_ref, skey_ref, scount_ref, tiles_ref,
+             out_ref, acc_ref, tile_ref, gflag_ref, glist_ref, gcnt_ref,
+             stop_ref, pend_ref, sem_ref):
         ox, oy, oz, tmin, dx, dy, dz, tmax, ix, iy, iz = _ray_cols(rays_ref)
         zeros = jnp.zeros_like(ox)
-        best_ref[:, 0:1] = tmax
-        best_ref[:, 1:2] = zeros
-        best_ref[:, 2:3] = zeros
-        best_ref[:, 3:4] = zeros - 1.0
+        acc_ref[:, 0:1] = tmax
+        acc_ref[:, 1:2] = zeros
+        acc_ref[:, 2:3] = zeros
+        acc_ref[:, 3:4] = zeros - 1.0
+        stop_ref[0] = jnp.max(tmax)
+        pend_ref[0] = -1
         n = scount_ref[0, 0, 0]
+
+        cc = (oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx)
+        f_d8 = jnp.concatenate([dx, dy, dz] + [zeros] * 5, axis=1)
+        f_o8 = jnp.concatenate([ox, oy, oz] + [zeros] * 5, axis=1)
+        f_dc8 = jnp.concatenate(
+            [dx, dy, dz, cc[0], cc[1], cc[2], zeros, zeros], axis=1)
 
         def tile_dma(k, slot):
             sc = slist_ref[0, 0, k]
@@ -49,60 +63,126 @@ def make_kernel(level):
                 tiles_ref.at[sc], tile_ref.at[slot], sem_ref.at[slot]
             )
 
-        if level <= 4:
-            if level <= 3:
-                @pl.when(n > 0)
-                def _():
-                    tile_dma(0, 0).start()
+        def mt_classic(slot, g, limit):
+            lo = pl.multiple_of(g * GROUP, GROUP)
+            nx = tile_ref[slot, 0:1, pl.ds(lo, GROUP)]
+            ny = tile_ref[slot, 1:2, pl.ds(lo, GROUP)]
+            nz = tile_ref[slot, 2:3, pl.ds(lo, GROUP)]
+            v0n = tile_ref[slot, 3:4, pl.ds(lo, GROUP)]
+            tid = tile_ref[slot, 4:5, pl.ds(lo, GROUP)]
+            ax = tile_ref[slot, 8:9, pl.ds(lo, GROUP)]
+            ay = tile_ref[slot, 9:10, pl.ds(lo, GROUP)]
+            az = tile_ref[slot, 10:11, pl.ds(lo, GROUP)]
+            e2x = tile_ref[slot, 11:12, pl.ds(lo, GROUP)]
+            e2y = tile_ref[slot, 12:13, pl.ds(lo, GROUP)]
+            e2z = tile_ref[slot, 13:14, pl.ds(lo, GROUP)]
+            bx = tile_ref[slot, 16:17, pl.ds(lo, GROUP)]
+            by = tile_ref[slot, 17:18, pl.ds(lo, GROUP)]
+            bz = tile_ref[slot, 18:19, pl.ds(lo, GROUP)]
+            m1x = tile_ref[slot, 19:20, pl.ds(lo, GROUP)]
+            m1y = tile_ref[slot, 20:21, pl.ds(lo, GROUP)]
+            m1z = tile_ref[slot, 21:22, pl.ds(lo, GROUP)]
+            det = -(dx * nx + dy * ny + dz * nz)
+            u_num = (cc[0] * e2x + cc[1] * e2y + cc[2] * e2z
+                     + dx * ax + dy * ay + dz * az)
+            v_num = (cc[0] * m1x + cc[1] * m1y + cc[2] * m1z
+                     + dx * bx + dy * by + dz * bz)
+            t_num = ox * nx + oy * ny + oz * nz - v0n
+            inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+            t = t_num * inv_det
+            u = u_num * inv_det
+            v = v_num * inv_det
+            ok = ((inv_det != 0.0) & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t > tmin) & (t < limit) & (tid >= 0.0))
+            return t, u, v, tid, ok
 
-            def body(k, _):
-                slot = jax.lax.rem(k, 2)
-                if level <= 3:
+        def body_common(k, slot):
+            if lvl <= 3:
+                tile_dma(k, slot).wait()
+                pend_ref[0] = -1
+                if early_exit:
+                    @pl.when((k + 1 < n) & (skey_ref[0, 0, k + 1] < stop_ref[0]))
+                    def _():
+                        tile_dma(k + 1, 1 - slot).start()
+                        pend_ref[0] = 1 - slot
+                else:
                     @pl.when(k + 1 < n)
                     def _():
                         tile_dma(k + 1, 1 - slot).start()
-                    tile_dma(k, slot).wait()
 
-                if level <= 2:
-                    sc = slist_ref[0, 0, k]
-                    sb = sbox_ref[pl.ds(sc, 1), :]
-                    stn, stf = _slab_row(sb, ox, oy, oz, ix, iy, iz)
-                    s_ok = (stn <= stf) & (stf >= tmin) & (stn <= best_ref[:, 0:1])
+            if lvl <= 2:
+                sc = slist_ref[0, 0, k]
+                sb = sbox_ref[pl.ds(sc, 1), :]
+                stn, stf = _slab_row(sb, ox, oy, oz, ix, iy, iz)
+                s_ok = (stn <= stf) & (stf >= tmin) & (stn <= acc_ref[:, 0:1])
 
-                    @pl.when(jnp.any(s_ok))
-                    def _():
-                        if level <= 1:
-                            tn, tf = _chunk_slab(tile_ref, slot, ox, oy, oz, ix, iy, iz)
-                            cm = (tn <= tf) & (tf >= tmin) & (tn <= best_ref[:, 0:1])
-                            _compact_groups(cm, gflag_ref, glist_ref, gcnt_ref)
+                @pl.when(jnp.any(s_ok))
+                def _():
+                    if lvl <= 1:
+                        tn, tf = _chunk_slab(tile_ref, slot, ox, oy, oz, ix, iy, iz)
+                        cm = (tn <= tf) & (tf >= tmin) & (tn <= acc_ref[:, 0:1])
+                        _compact_groups(cm, gflag_ref, glist_ref, gcnt_ref)
 
-                            if level == 0:
-                                def mt_body(j, _):
-                                    g = glist_ref[j]
-                                    best_t = best_ref[:, 0:1]
+                        if lvl == 0:
+                            def mt_body(j, _):
+                                g = glist_ref[j]
+                                best_t = acc_ref[:, 0:1]
+                                if matmul_mt:
                                     t, u, v, tid, ok = _mt_group(
-                                        tile_ref, slot, g, ox, oy, oz, dx, dy, dz, tmin, best_t)
-                                    t = jnp.where(ok, t, BIG)
-                                    t_min = jnp.min(t, axis=1, keepdims=True)
-                                    improved = t_min < best_t
-                                    sel = t == t_min
-                                    pick = lambda a: jnp.max(jnp.where(sel, a, -BIG), axis=1, keepdims=True)
-                                    best_ref[:, 0:1] = jnp.where(improved, t_min, best_t)
-                                    best_ref[:, 1:2] = jnp.where(improved, pick(u), best_ref[:, 1:2])
-                                    best_ref[:, 2:3] = jnp.where(improved, pick(v), best_ref[:, 2:3])
-                                    best_ref[:, 3:4] = jnp.where(improved, pick(tid * jnp.ones_like(u)), best_ref[:, 3:4])
-                                    return 0
-                                jax.lax.fori_loop(0, gcnt_ref[0], mt_body, 0)
-                return 0
+                                        tile_ref, slot, g, f_d8, f_o8, f_dc8,
+                                        tmin, best_t)
+                                else:
+                                    t, u, v, tid, ok = mt_classic(slot, g, best_t)
+                                t = jnp.where(ok, t, BIG)
+                                t_min = jnp.min(t, axis=1, keepdims=True)
+                                improved = t_min < best_t
+                                sel = t == t_min
+                                pick = lambda a: jnp.max(jnp.where(sel, a, -BIG), axis=1, keepdims=True)
+                                acc_ref[:, 0:1] = jnp.where(improved, t_min, best_t)
+                                acc_ref[:, 1:2] = jnp.where(improved, pick(u), acc_ref[:, 1:2])
+                                acc_ref[:, 2:3] = jnp.where(improved, pick(v), acc_ref[:, 2:3])
+                                acc_ref[:, 3:4] = jnp.where(improved, pick(tid * jnp.ones_like(u)), acc_ref[:, 3:4])
+                                return 0
+                            jax.lax.fori_loop(0, gcnt_ref[0], mt_body, 0)
+                            if early_exit:
+                                stop_ref[0] = jnp.max(acc_ref[:, 0:1])
 
-            jax.lax.fori_loop(0, n, body, 0)
+        if lvl <= 4:
+            if lvl <= 3:
+                @pl.when(n > 0)
+                def _():
+                    tile_dma(0, 0).start()
+                    pend_ref[0] = 0
 
-        out_ref[:, 0:4] = best_ref[:, 0:4]
+            if early_exit:
+                def body(carry):
+                    k, _ = carry
+                    slot = jax.lax.rem(k, 2)
+                    body_common(k, slot)
+                    nk = k + 1
+                    go = (nk < n) & (skey_ref[0, 0, nk] < stop_ref[0])
+                    return nk, go
+                jax.lax.while_loop(lambda c: c[1], body, (0, n > 0))
+            else:
+                def body(k, _):
+                    slot = jax.lax.rem(k, 2)
+                    body_common(k, slot)
+                    return 0
+                jax.lax.fori_loop(0, n, body, 0)
+
+            @pl.when(pend_ref[0] >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    tiles_ref.at[0], tile_ref.at[pend_ref[0]],
+                    sem_ref.at[pend_ref[0]]
+                ).wait()
+
+        out_ref[:, 0:4] = acc_ref[:, 0:4]
         out_ref[:, 4:8] = jnp.concatenate([zeros] * 4, axis=1)
     return kern
 
 
-def call_level(level, raysT, sbox, slist, scount, tiles):
+def call_level(level, raysT, sbox, slist, skey, scount, tiles):
     num_r = raysT.shape[0]
     num_s = sbox.shape[0]
     return pl.pallas_call(
@@ -113,6 +193,7 @@ def call_level(level, raysT, sbox, slist, scount, tiles):
             pl.BlockSpec((BLK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_s, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, slist.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, skey.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -123,9 +204,11 @@ def call_level(level, raysT, sbox, slist, scount, tiles):
             pltpu.VMEM((NGROUP, 1), jnp.int32),
             pltpu.SMEM((NGROUP,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(raysT, sbox, slist, scount, tiles)
+    )(raysT, sbox, slist, skey, scount, tiles)
 
 
 def run(level, sboxj, tilesj, org, d, iters=16):
@@ -134,13 +217,11 @@ def run(level, sboxj, tilesj, org, d, iters=16):
         def go(org, d):
             def body(i, acc):
                 rays8t, _ = _rays8t(org + acc * 1e-30, d, 0.0, BIG, None)
-                if level <= 5:
-                    slist, scount = superchunk_candidates(rays8t, sboxj)
-                    out = call_level(level, rays8t.T, sboxj, slist, scount, tilesj)
-                    return acc + jnp.tanh(jnp.sum(out[:, 0] * 1e-9))
-                else:
-                    slist, scount = superchunk_candidates(rays8t, sboxj)
+                slist, skey, scount = superchunk_candidates(rays8t, sboxj)
+                if level == 6:
                     return acc + jnp.tanh(jnp.sum(slist[:, 0, 0].astype(jnp.float32) * 1e-9) + jnp.sum(scount.astype(jnp.float32)) * 1e-9)
+                out = call_level(level, rays8t.T, sboxj, slist, skey, scount, tilesj)
+                return acc + jnp.tanh(jnp.sum(out[:, 0] * 1e-9))
             return jax.lax.fori_loop(0, k, body, 0.0)
         return go
 
@@ -151,19 +232,25 @@ def run(level, sboxj, tilesj, org, d, iters=16):
     t2 = time.perf_counter()
     per = ((t2 - t1) - (t1 - t0)) / iters
     n = org.shape[0]
-    print(f"level {level}: {per * 1e3:.2f} ms ({n / per / 1e6:.1f} Mrays/s)")
+    print(f"level {level}: {per * 1e3:.2f} ms ({n / per / 1e6:.1f} Mrays/s)", flush=True)
 
 
 if __name__ == "__main__":
-    tb = boxes_scene(2_000)
-    sbox, tiles = ps.pack_stream_tiles(tb.tri_v0, tb.tri_e1, tb.tri_e2, tb.tri_id)
+    nb = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000
+    ray_kind = sys.argv[2] if len(sys.argv) > 2 else "primary"
+    tb = boxes_scene(nb)
+    sbox, tiles, center = ps.pack_stream_tiles(tb.tri_v0, tb.tri_e1, tb.tri_e2, tb.tri_id)
     sboxj, tilesj = jnp.asarray(sbox), jnp.asarray(tiles)
-    org, d = primary_rays(1 << 18)
-    # mean candidate count
+    rays_fn = primary_rays if ray_kind == "primary" else scattered_rays
+    org, d = rays_fn(1 << 18)
+    org = org - center[None, :]
     rays8t, _ = _rays8t(org, d, 0.0, BIG, None)
-    _, scount = jax.jit(lambda r: superchunk_candidates(r, sboxj))(rays8t)
+    _, _, scount = jax.jit(lambda r: superchunk_candidates(r, sboxj))(rays8t)
     print("superchunks:", sbox.shape[0],
           " mean cand/block:", float(jnp.mean(scount.astype(jnp.float32))),
-          " max:", int(jnp.max(scount)))
-    for level in (6, 5, 4, 3, 2, 1, 0):
-        run(level, sboxj, tilesj, org, d)
+          " max:", int(jnp.max(scount)), flush=True)
+    import ast
+    levels = sys.argv[3].split(",") if len(sys.argv) > 3 else ["6", "5", "4", "3", "2", "1", "f0", "0v", "0"]
+    for level in levels:
+        lv = int(level) if level.isdigit() else level
+        run(lv, sboxj, tilesj, org, d)

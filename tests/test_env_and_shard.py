@@ -83,3 +83,67 @@ def test_sharded_pt_matches_single_device():
     b = np.asarray(render_pt_frame_sharded(
         scene, cam, jnp.uint32(0), size, size, mesh, max_len=4))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+@pytest.mark.parametrize("algo", ["vcm", "bpt", "lt"])
+def test_sharded_vcm_matches_single_device(algo):
+    """Sharded light paths + merged canonical cache + sharded camera rays
+    must reproduce the single-chip frame (same RNG per path/pixel; the
+    canonical cache order makes vertex sampling schedule-independent).
+    Tolerance covers the one non-associative piece: per-shard film
+    segment-sums reduced by psum instead of one global segment-sum."""
+    from imbatracer_tpu.parallel.shard import make_mesh, render_vcm_frame_sharded
+    from imbatracer_tpu.render.camera import make_camera
+    from imbatracer_tpu.render.integrators.vcm import render_vcm_frame
+
+    scene, meta = make_cornell_scene()
+    size = 32
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size, 60.0)
+    mesh = make_mesh(jax.devices()[:8])
+    # cache_capacity with head-room: overflow *drop sets* are schedule-
+    # dependent (single-chip drops in bounce-major order, shards locally)
+    # — the equality contract holds for non-overflowing caches.
+    kw = dict(algo=algo, width=size, height=size, max_len=4,
+              light_path_count=512, cache_capacity=8192)
+    r = jnp.float32(0.05)
+    a = np.asarray(render_vcm_frame(scene, cam, jnp.uint32(0), r, **kw))
+    b = np.asarray(render_vcm_frame_sharded(
+        scene, cam, jnp.uint32(0), r, mesh, **kw))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_light_pass_band_invariance():
+    """Splitting the light pass into bands must not change the film
+    (regression: cam_connect once normalised by the band size instead of
+    light_path_count, over-brightening banded frames)."""
+    import jax.numpy as jnp
+
+    from imbatracer_tpu.render.camera import make_camera
+    from imbatracer_tpu.render.integrators.vcm import (
+        TECHNIQUES, _light_pass, _mis_constants,
+    )
+    from imbatracer_tpu.render.light_cache import empty_cache
+
+    scene, meta = make_cornell_scene()
+    size = 16
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size, 60.0)
+    frame = jnp.uint32(0)
+    br = jnp.float32(0.05)
+    lpc = 128
+    pm, evc, evm = _mis_constants(frame, br, lpc, "lt")
+    kw = dict(algo="lt", num_pixels=size * size, light_path_count=lpc,
+              max_len=3, cache_capacity=1024, has_masks=False,
+              has_bump=False, alpha_fn=None, max_steps=0,
+              techniques=TECHNIQUES)
+    whole, _ = _light_pass(scene, cam, frame, pm, br, evc, evm,
+                           path_start=0, band_paths=lpc,
+                           cache_in=empty_cache(1024), **kw)
+    split = jnp.zeros_like(whole)
+    for start in range(0, lpc, 32):
+        f, _ = _light_pass(scene, cam, frame, pm, br, evc, evm,
+                           path_start=start, band_paths=32,
+                           cache_in=empty_cache(1024), **kw)
+        split = split + f
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(split),
+                               rtol=1e-5, atol=1e-7)

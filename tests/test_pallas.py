@@ -62,7 +62,7 @@ def test_stream_kernel_matches_bvh():
 
     def run():
         scene, _ = make_cornell_scene()
-        sbox, tiles = ps.pack_stream_tiles(
+        sbox, tiles, center = ps.pack_stream_tiles(
             np.asarray(scene.bvh.tri_v0), np.asarray(scene.bvh.tri_e1),
             np.asarray(scene.bvh.tri_e2), np.asarray(scene.bvh.tri_id),
         )
@@ -76,7 +76,8 @@ def test_stream_kernel_matches_bvh():
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         active = jnp.asarray(rs.rand(n) < 0.8)
 
-        hp = ps.closest_hit_stream(sboxj, tilesj, org, d, 0.0, BIG,
+        org_c = org - jnp.asarray(center)[None, :]
+        hp = ps.closest_hit_stream(sboxj, tilesj, org_c, d, 0.0, BIG,
                                    active=active)
         hx = closest_hit(scene.bvh, org, d, 0.0, BIG, active=active)
         np.testing.assert_array_equal(
@@ -86,7 +87,7 @@ def test_stream_kernel_matches_bvh():
         np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hx.t)[m],
                                    rtol=1e-4)
 
-        occ_p = ps.any_hit_stream(sboxj, tilesj, org, d, 0.0,
+        occ_p = ps.any_hit_stream(sboxj, tilesj, org_c, d, 0.0,
                                   jnp.full((n,), 2.0), active=active)
         occ_x = any_hit(scene.bvh, org, d, 0.0, jnp.full((n,), 2.0),
                         active=active)

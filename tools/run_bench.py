@@ -49,7 +49,17 @@ DEFAULT_RUNS = [
 ]
 
 
-def run_one(name, scene_path, golden, algo, width, height, extra, seconds):
+def run_one(name, scene_path, golden, algo, width, height, extra, seconds,
+            converge_rmse=0.0, curve_path="", curve_every=5.0):
+    """One benchmark run.
+
+    Plain mode: render for `seconds`, report final RMSE/PSNR.
+    Convergence-gate mode (reference: test/run_bench.py:254-296): when
+    `converge_rmse > 0` and a golden exists, the run PASSES iff RMSE
+    drops to the target within the budget; the RMSE-over-time curve
+    (reference :231-245 writes intermediate images; we record the metric
+    directly) lands in `curve_path` as (time, frames, rmse, psnr) rows.
+    """
     import jax
     import numpy as np
 
@@ -69,10 +79,41 @@ def run_one(name, scene_path, golden, algo, width, height, extra, seconds):
     r.step()
     jax.block_until_ready(r.accum)
     r.reset()
+
+    ref = None
+    if golden and os.path.exists(golden):
+        ref = load_reference_png(golden)
+        if ref.shape[0] * ref.shape[1] != width * height:
+            ref = None
+
+    curve = []
+    converged_at = ""
     t0 = time.time()
-    r.run(quiet=True)
+    if (converge_rmse > 0 or curve_path) and ref is not None:
+        next_sample = 0.0
+        while time.time() - t0 < seconds:
+            r.step()
+            jax.block_until_ready(r.accum)
+            el = time.time() - t0
+            if el >= next_sample:
+                next_sample = el + curve_every
+                e = rmse(r.image(), ref)
+                curve.append((round(el, 2), r.frames, round(e, 5),
+                              round(psnr(r.image(), ref), 2)))
+                if converge_rmse > 0 and e <= converge_rmse:
+                    converged_at = round(el, 2)
+                    break
+    else:
+        r.run(quiet=True)
     elapsed = time.time() - t0
     img = r.image()
+
+    if curve_path and curve:
+        os.makedirs(os.path.dirname(curve_path) or ".", exist_ok=True)
+        with open(curve_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["time", "frames", "rmse", "psnr"])
+            w.writerows(curve)
 
     row = {
         "name": name,
@@ -84,11 +125,12 @@ def run_one(name, scene_path, golden, algo, width, height, extra, seconds):
         "rmse": "",
         "psnr": "",
     }
-    if golden and os.path.exists(golden):
-        ref = load_reference_png(golden)
-        if ref.shape[:2] == img.shape[:2]:
-            row["rmse"] = round(rmse(img, ref), 5)
-            row["psnr"] = round(psnr(img, ref), 2)
+    if ref is not None:
+        row["rmse"] = round(rmse(img, ref), 5)
+        row["psnr"] = round(psnr(img, ref), 2)
+    if converge_rmse > 0:
+        row["converged_at"] = converged_at
+        row["gate"] = "PASS" if converged_at != "" else "FAIL"
     return row
 
 
@@ -98,6 +140,16 @@ def main():
                     help="render budget per run (reference default 30 s)")
     ap.add_argument("-o", "--out", default="results/bench.csv")
     ap.add_argument("--only", default="", help="substring filter on run names")
+    ap.add_argument("--converge", type=float, default=0.0,
+                    help="convergence-gate mode: required RMSE (e.g. 2.0); "
+                         "the budget becomes a deadline and each run "
+                         "PASSes/FAILs (reference run_bench.py:254-296)")
+    ap.add_argument("--curve-dir", default="",
+                    help="write per-run RMSE-over-time CSV curves here")
+    ap.add_argument("--curve-every", type=float, default=5.0,
+                    help="curve sampling interval in seconds")
+    ap.add_argument("--size", type=int, default=0,
+                    help="override render size (golden checks then skip)")
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -109,8 +161,16 @@ def main():
             print(f"skip {run[0]}: scene missing")
             continue
         print(f"== {run[0]} ({run[3]}, {args.time}s) ==", flush=True)
+        name, scene_path, golden, algo, w, h, extra = run
+        if args.size:
+            w = h = args.size
+        curve_path = (os.path.join(args.curve_dir, f"curve_{name}.csv")
+                      if args.curve_dir else "")
         try:
-            row = run_one(*run, seconds=args.time)
+            row = run_one(name, scene_path, golden, algo, w, h, extra,
+                          seconds=args.time, converge_rmse=args.converge,
+                          curve_path=curve_path,
+                          curve_every=args.curve_every)
         except Exception as e:  # device faults etc.: record and continue
             print(f"FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
             row = {"name": run[0], "algorithm": run[3], "time": "",
@@ -120,7 +180,8 @@ def main():
         rows.append(row)
         # Write incrementally so a later crash loses nothing.
         keys = ["name", "algorithm", "time", "samples", "fps",
-                "ms_per_frame", "rmse", "psnr", "error"]
+                "ms_per_frame", "rmse", "psnr", "converged_at", "gate",
+                "error"]
         with open(args.out, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
             w.writeheader()
