@@ -62,8 +62,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.imba_build_sbvh.restype = ctypes.c_int
+        lib.imba_build_sbvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
         _lib = lib
-    except OSError as e:
+    except (OSError, AttributeError) as e:
         logger.warning("native builder load failed: %s", e)
     return _lib
 
@@ -106,4 +115,46 @@ def build_bvh_native(bbox_lo, bbox_hi, centers=None, leaf_size=4,
         start=start[:n_nodes].copy(),
         count=count[:n_nodes].copy(),
         prim_ids=prim_ids,
+    )
+
+
+def build_sbvh_native(tri_verts, leaf_size=4, alpha=1e-5,
+                      ref_budget=1.5) -> BvhNodes | None:
+    """Native spatial-split build (reference core/sbvh_builder.h role);
+    tri_verts: (N, 3, 3).  Returns None if the library is unavailable
+    (callers fall back to accel/sbvh.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = tri_verts.shape[0]
+    tv = np.ascontiguousarray(tri_verts, np.float32)
+
+    node_cap = 4 * n + 2
+    max_refs = int(n * ref_budget) + 16
+    node_min = np.empty((node_cap, 3), np.float32)
+    node_max = np.empty((node_cap, 3), np.float32)
+    right = np.empty(node_cap, np.int32)
+    start = np.empty(node_cap, np.int32)
+    count = np.empty(node_cap, np.int32)
+    prim_ids = np.empty(max_refs, np.int32)
+    num_refs = np.zeros(1, np.int32)
+
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    n_nodes = lib.imba_build_sbvh(
+        fp(tv), n, leaf_size, ctypes.c_float(alpha),
+        ctypes.c_float(ref_budget),
+        fp(node_min), fp(node_max), ip(right), ip(start), ip(count),
+        ip(prim_ids), ip(num_refs),
+    )
+    if n_nodes <= 0:
+        logger.warning("native sbvh returned %d", n_nodes)
+        return None
+    return BvhNodes(
+        bbox_min=node_min[:n_nodes].copy(),
+        bbox_max=node_max[:n_nodes].copy(),
+        right=right[:n_nodes].copy(),
+        start=start[:n_nodes].copy(),
+        count=count[:n_nodes].copy(),
+        prim_ids=prim_ids[: int(num_refs[0])].copy(),
     )

@@ -273,34 +273,41 @@ def _chunk_slab(tile, slot, ox, oy, oz, ix, iy, iz):
     return tn, tf
 
 
-def _dot(f, rhs):
-    # HIGHEST: full-f32 MXU passes — the default single bf16 pass loses
-    # ~16 mantissa bits and flips edge-boundary hits (measured 9/4096 vs
-    # the classic MT form on TPU); K=8 keeps the extra passes ~free.
-    return jax.lax.dot_general(
-        f, rhs, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+def _mt_group(tile, slot, g, rc, tmin, t_limit):
+    """Möller-Trumbore of triangle group g from the precomputed feature
+    rows — ~25 VPU ops per (ray, triangle) pair vs ~60 for the classic
+    cross-product form.
 
+    rc = (ox, oy, oz, dx, dy, dz, cx, cy, cz) ray columns, c = o x d.
+    Returns (t, u, v, tid, ok), each (BLK, GROUP).
 
-def _mt_group(tile, slot, g, f_d8, f_o8, f_dc8, tmin, t_limit):
-    """Möller-Trumbore of triangle group g via MXU feature contractions.
-
-    Returns (t, u, v, tid, ok), each (BLK, GROUP)."""
+    NB an MXU formulation ((BLK,8) x (8,GROUP) dots over the same feature
+    rows) was measured SLOWER end-to-end (125 ms vs 80 ms per 262k-ray
+    dispatch on the 24k-tri scene): at K=8 the dot is operand-staging
+    bound and f32 needs HIGHEST (multi-pass) to keep hits bit-exact.
+    The feature rows keep that door open; the VPU epilogue is the win
+    today."""
+    ox, oy, oz, dx, dy, dz, cx, cy, cz = rc
     # Alignment hint: without it Mosaic must assume an arbitrary lane
     # offset and emits a dynamic lane-rotate per read.
     lo = pl.multiple_of(g * GROUP, GROUP)
-    dn = _dot(f_d8, tile[slot, 0:8, pl.ds(lo, GROUP)])
-    on = _dot(f_o8, tile[slot, 0:8, pl.ds(lo, GROUP)])
-    u_num = _dot(f_dc8, tile[slot, 8:16, pl.ds(lo, GROUP)])
-    v_num = _dot(f_dc8, tile[slot, 16:24, pl.ds(lo, GROUP)])
-    v0n = tile[slot, 3:4, pl.ds(lo, GROUP)]
-    tid = tile[slot, 4:5, pl.ds(lo, GROUP)]
+    row = lambda r: tile[slot, r : r + 1, pl.ds(lo, GROUP)]
+    nx, ny, nz = row(0), row(1), row(2)
+    v0n = row(3)
+    tid = row(4)
+    ax, ay, az = row(8), row(9), row(10)        # v0 x e2
+    e2x, e2y, e2z = row(11), row(12), row(13)
+    bx, by, bz = row(16), row(17), row(18)      # e1 x v0
+    m1x, m1y, m1z = row(19), row(20), row(21)   # -e1
 
-    det = -dn
+    det = -(dx * nx + dy * ny + dz * nz)
+    u_num = (cx * e2x + cy * e2y + cz * e2z
+             + dx * ax + dy * ay + dz * az)
+    v_num = (cx * m1x + cy * m1y + cz * m1z
+             + dx * bx + dy * by + dz * bz)
+    t_num = ox * nx + oy * ny + oz * nz - v0n
     inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-    t = (on - v0n) * inv_det
+    t = t_num * inv_det
     u = u_num * inv_det
     v = v_num * inv_det
     ok = (
@@ -373,12 +380,8 @@ def _make_kernel(occl: bool, instanced: bool):
         n = scount_ref[0, 0, 0]
 
         if not instanced:
-            cc = (oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx)
-            f_d8 = jnp.concatenate([dx, dy, dz] + [zeros] * 5, axis=1)
-            f_o8 = jnp.concatenate([ox, oy, oz] + [zeros] * 5, axis=1)
-            f_dc8 = jnp.concatenate(
-                [dx, dy, dz, cc[0], cc[1], cc[2], zeros, zeros], axis=1
-            )
+            rc0 = (ox, oy, oz, dx, dy, dz,
+                   oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx)
 
         def tile_dma(k, slot):
             sc = slist_ref[0, 0, k]
@@ -437,19 +440,13 @@ def _make_kernel(occl: bool, instanced: bool):
                     ciy = sgn(cdy) / jnp.maximum(jnp.abs(cdy), 1e-12)
                     ciz = sgn(cdz) / jnp.maximum(jnp.abs(cdz), 1e-12)
                     id_off = row[:, 12:13]
-                    ccx = coy * cdz - coz * cdy
-                    ccy = coz * cdx - cox * cdz
-                    ccz = cox * cdy - coy * cdx
-                    g_d8 = jnp.concatenate(
-                        [cdx, cdy, cdz] + [zeros] * 5, axis=1)
-                    g_o8 = jnp.concatenate(
-                        [cox, coy, coz] + [zeros] * 5, axis=1)
-                    g_dc8 = jnp.concatenate(
-                        [cdx, cdy, cdz, ccx, ccy, ccz, zeros, zeros], axis=1)
+                    rc = (cox, coy, coz, cdx, cdy, cdz,
+                          coy * cdz - coz * cdy, coz * cdx - cox * cdz,
+                          cox * cdy - coy * cdx)
                 else:
                     cox, coy, coz = ox, oy, oz
                     cix, ciy, ciz = ix, iy, iz
-                    g_d8, g_o8, g_dc8 = f_d8, f_o8, f_dc8
+                    rc = rc0
                     id_off = None
 
                 tn, tf = _chunk_slab(tile_ref, slot, cox, coy, coz,
@@ -465,7 +462,7 @@ def _make_kernel(occl: bool, instanced: bool):
                     g = glist_ref[j]
                     limit = tmax if occl else acc_ref[:, 0:1]
                     t, u, v, tid, ok = _mt_group(
-                        tile_ref, slot, g, g_d8, g_o8, g_dc8, tmin, limit
+                        tile_ref, slot, g, rc, tmin, limit
                     )
                     if occl:
                         found = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1,

@@ -181,6 +181,10 @@ DENSE_MAX_TRIS = 1024
 # test scenes carry no masks, so the bound is a documented trade).
 ALPHA_ROUNDS = 4
 
+# Route incoherent (sort=True) stream dispatches through the pair-stream
+# kernel (ops/pallas_pairs.py).
+USE_PAIRS = True
+
 
 def _inst(bvh):
     """Two-level instancing metadata for the streaming kernel (or None)."""
@@ -320,10 +324,14 @@ def closest_hit(
     if bvh.mode == "dense" or max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, True)
     if bvh.mode in ("stream", "stream2"):
-        from ..ops.pallas_stream import closest_hit_sorted, closest_hit_stream
+        from ..ops.pallas_pairs import closest_hit_pairs
+        from ..ops.pallas_stream import closest_hit_stream
 
         if alpha_fn is None:
-            fn = closest_hit_sorted if sort else closest_hit_stream
+            # Incoherent dispatches (bounce/shadow batches) go through the
+            # pair-stream queue — zero block divergence; coherent primary
+            # batches stay on the per-block candidate walk.
+            fn = closest_hit_pairs if (sort and USE_PAIRS) else closest_hit_stream
             return fn(bvh.sbox, bvh.tiles, _recenter(bvh, org), d, tmin,
                       tmax, active=active, inst=_inst(bvh))
         return _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)
@@ -389,10 +397,11 @@ def any_hit(
     if bvh.mode == "dense" or max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, False)
     if bvh.mode in ("stream", "stream2"):
-        from ..ops.pallas_stream import any_hit_sorted, any_hit_stream
+        from ..ops.pallas_pairs import any_hit_pairs
+        from ..ops.pallas_stream import any_hit_stream
 
         if alpha_fn is None:
-            fn = any_hit_sorted if sort else any_hit_stream
+            fn = any_hit_pairs if (sort and USE_PAIRS) else any_hit_stream
             return fn(bvh.sbox, bvh.tiles, _recenter(bvh, org),
                       d, tmin, tmax, active=active, inst=_inst(bvh))
         hit = _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)

@@ -450,10 +450,16 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
         blo, bhi = triangle_bboxes(v0, v1, v2)
         if spatial:
             # Quality build: spatial splits (reference SplitBvhBuilder,
-            # core/sbvh_builder.h) — slower, cached on disk.
-            from ..accel.sbvh import build_sbvh
+            # core/sbvh_builder.h) — native C++ (fast), NumPy fallback;
+            # cached on disk either way.
+            from ..accel.native import build_sbvh_native
 
-            nodes = build_sbvh(blo, bhi, np.stack([v0, v1, v2], axis=1))
+            verts = np.stack([v0, v1, v2], axis=1)
+            nodes = build_sbvh_native(verts)
+            if nodes is None:
+                from ..accel.sbvh import build_sbvh
+
+                nodes = build_sbvh(blo, bhi, verts)
         else:
             # Native C++ builder (accel/cpp) with NumPy fallback.
             from ..accel.native import build_bvh_native

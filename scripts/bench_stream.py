@@ -7,6 +7,8 @@
    method (K iterations inside one jit).
 """
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imbatracer_jax_cache")
 import sys
 import time
 
@@ -112,17 +114,22 @@ def check_correct():
     print("active masking ok")
 
 
-def bench(tb, n_rays, label, rays_fn, iters=24):
+def bench(tb, n_rays, label, rays_fn, iters=24, sort=False, pairs=False):
     sbox, tiles, center = ps.pack_stream_tiles(tb.tri_v0, tb.tri_e1, tb.tri_e2, tb.tri_id)
     sboxj, tilesj = jnp.asarray(sbox), jnp.asarray(tiles)
     org, d = rays_fn(n_rays)
     org = org - center[None, :]
+    if pairs:
+        from imbatracer_tpu.ops.pallas_pairs import closest_hit_pairs
+        hit_fn = closest_hit_pairs
+    else:
+        hit_fn = ps.closest_hit_sorted if sort else ps.closest_hit_stream
 
     def make(k):
         @jax.jit
         def run(org, d):
             def body(i, acc):
-                h = ps.closest_hit_stream(
+                h = hit_fn(
                     sboxj, tilesj, org + acc * 1e-30, d, 0.0, ps.BIG
                 )
                 return acc + jnp.tanh(jnp.sum(h.t * 1e-9))
@@ -136,19 +143,34 @@ def bench(tb, n_rays, label, rays_fn, iters=24):
     t2 = time.perf_counter()
     per = ((t2 - t1) - (t1 - t0)) / iters
     print(f"{label}: {per * 1e3:.2f} ms / {n_rays} rays -> "
-          f"{n_rays / per / 1e6:.1f} Mrays/s")
+          f"{n_rays / per / 1e6:.1f} Mrays/s", flush=True)
     return n_rays / per / 1e6
 
 
 if __name__ == "__main__":
-    print("backend:", jax.default_backend())
-    check_correct()
+    print("backend:", jax.default_backend(), flush=True)
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
+    if not only:
+        check_correct()
 
-    sizes = [(2_000, "24k tris"), (22_000, "264k tris")]
+    sizes = [(2_000, "24k"), (22_000, "264k")]
     for nb, lbl in sizes:
+        if only and only not in lbl:
+            continue
         tb = boxes_scene(nb)
         nt = tb.tri_v0.shape[0]
-        print(f"--- scene {lbl} ({nt} packed tris, "
-              f"{tb.sbox.shape[0] if hasattr(tb,'sbox') else '?'} superchunks)")
-        bench(tb, 1 << 18, f"stream primary  {lbl}", primary_rays)
-        bench(tb, 1 << 18, f"stream scattered {lbl}", scattered_rays)
+        print(f"--- scene {lbl} tris ({nt} packed)", flush=True)
+        for name, fn, kw in (
+            ("primary       ", primary_rays, {}),
+            ("primary tiled ", lambda n: primary_rays(n, tile=16), {}),
+            ("primary pairs ", lambda n: primary_rays(n, tile=16),
+             {"pairs": True}),
+            ("scattered     ", scattered_rays, {}),
+            ("scattered sort", scattered_rays, {"sort": True}),
+            ("scattered prs ", scattered_rays, {"pairs": True}),
+        ):
+            try:
+                bench(tb, 1 << 18, f"{lbl} {name}", fn, **kw)
+            except Exception as e:
+                print(f"{lbl} {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)

@@ -2,6 +2,8 @@
 (stream traversal mode).  Usage: python scripts/bigscene_frame.py [boxes]
 [size]."""
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imbatracer_jax_cache")
 import sys
 import time
 

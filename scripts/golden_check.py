@@ -4,6 +4,8 @@ Usage: python scripts/golden_check.py [scene] [golden] [seconds] [algo]
 Runs on whatever JAX platform is default (TPU on the bench box).
 """
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imbatracer_jax_cache")
 import sys
 import time
 

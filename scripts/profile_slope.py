@@ -2,6 +2,8 @@
 one jit call; per-iteration cost = (t(K2) - t(K1)) / (K2 - K1).  Immune to
 RPC latency, dispatch floors, caching and constant folding."""
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imbatracer_jax_cache")
 import sys
 import time
 

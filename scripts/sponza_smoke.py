@@ -1,5 +1,7 @@
 """Sponza smoke test: big textured+masked scene through the full pipeline."""
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imbatracer_jax_cache")
 import sys
 import time
 

@@ -7,11 +7,12 @@ Levels:
   3  = 4 + double-buffered DMA + drain
   2  = 3 + per-candidate superchunk slab re-check
   1  = 2 + chunk slab + group compaction
-  0  = full kernel, MXU feature-matmul MT (production)
-  0v = full kernel, VPU classic MT from tile features (control)
-  f0 = full matmul MT but fori loop over all n candidates (no early exit)
+  0  = full kernel (VPU feature-form MT, production)
+  f0 = full kernel but fori loop over all n candidates (no early exit)
 """
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imbatracer_jax_cache")
 import sys
 import time
 
@@ -35,8 +36,7 @@ from bench_stream import boxes_scene, primary_rays, scattered_rays
 
 def make_kernel(level):
     early_exit = level != "f0"
-    matmul_mt = level in (0, "f0")
-    lvl = 0 if level in ("0v", "f0") else level
+    lvl = 0 if level == "f0" else level
 
     def kern(rays_ref, sbox_ref, slist_ref, skey_ref, scount_ref, tiles_ref,
              out_ref, acc_ref, tile_ref, gflag_ref, glist_ref, gcnt_ref,
@@ -52,10 +52,6 @@ def make_kernel(level):
         n = scount_ref[0, 0, 0]
 
         cc = (oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx)
-        f_d8 = jnp.concatenate([dx, dy, dz] + [zeros] * 5, axis=1)
-        f_o8 = jnp.concatenate([ox, oy, oz] + [zeros] * 5, axis=1)
-        f_dc8 = jnp.concatenate(
-            [dx, dy, dz, cc[0], cc[1], cc[2], zeros, zeros], axis=1)
 
         def tile_dma(k, slot):
             sc = slist_ref[0, 0, k]
@@ -63,38 +59,7 @@ def make_kernel(level):
                 tiles_ref.at[sc], tile_ref.at[slot], sem_ref.at[slot]
             )
 
-        def mt_classic(slot, g, limit):
-            lo = pl.multiple_of(g * GROUP, GROUP)
-            nx = tile_ref[slot, 0:1, pl.ds(lo, GROUP)]
-            ny = tile_ref[slot, 1:2, pl.ds(lo, GROUP)]
-            nz = tile_ref[slot, 2:3, pl.ds(lo, GROUP)]
-            v0n = tile_ref[slot, 3:4, pl.ds(lo, GROUP)]
-            tid = tile_ref[slot, 4:5, pl.ds(lo, GROUP)]
-            ax = tile_ref[slot, 8:9, pl.ds(lo, GROUP)]
-            ay = tile_ref[slot, 9:10, pl.ds(lo, GROUP)]
-            az = tile_ref[slot, 10:11, pl.ds(lo, GROUP)]
-            e2x = tile_ref[slot, 11:12, pl.ds(lo, GROUP)]
-            e2y = tile_ref[slot, 12:13, pl.ds(lo, GROUP)]
-            e2z = tile_ref[slot, 13:14, pl.ds(lo, GROUP)]
-            bx = tile_ref[slot, 16:17, pl.ds(lo, GROUP)]
-            by = tile_ref[slot, 17:18, pl.ds(lo, GROUP)]
-            bz = tile_ref[slot, 18:19, pl.ds(lo, GROUP)]
-            m1x = tile_ref[slot, 19:20, pl.ds(lo, GROUP)]
-            m1y = tile_ref[slot, 20:21, pl.ds(lo, GROUP)]
-            m1z = tile_ref[slot, 21:22, pl.ds(lo, GROUP)]
-            det = -(dx * nx + dy * ny + dz * nz)
-            u_num = (cc[0] * e2x + cc[1] * e2y + cc[2] * e2z
-                     + dx * ax + dy * ay + dz * az)
-            v_num = (cc[0] * m1x + cc[1] * m1y + cc[2] * m1z
-                     + dx * bx + dy * by + dz * bz)
-            t_num = ox * nx + oy * ny + oz * nz - v0n
-            inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-            t = t_num * inv_det
-            u = u_num * inv_det
-            v = v_num * inv_det
-            ok = ((inv_det != 0.0) & (u >= 0.0) & (v >= 0.0)
-                  & (u + v <= 1.0) & (t > tmin) & (t < limit) & (tid >= 0.0))
-            return t, u, v, tid, ok
+        rc = (ox, oy, oz, dx, dy, dz, cc[0], cc[1], cc[2])
 
         def body_common(k, slot):
             if lvl <= 3:
@@ -127,12 +92,8 @@ def make_kernel(level):
                             def mt_body(j, _):
                                 g = glist_ref[j]
                                 best_t = acc_ref[:, 0:1]
-                                if matmul_mt:
-                                    t, u, v, tid, ok = _mt_group(
-                                        tile_ref, slot, g, f_d8, f_o8, f_dc8,
-                                        tmin, best_t)
-                                else:
-                                    t, u, v, tid, ok = mt_classic(slot, g, best_t)
+                                t, u, v, tid, ok = _mt_group(
+                                    tile_ref, slot, g, rc, tmin, best_t)
                                 t = jnp.where(ok, t, BIG)
                                 t_min = jnp.min(t, axis=1, keepdims=True)
                                 improved = t_min < best_t
@@ -250,7 +211,7 @@ if __name__ == "__main__":
           " mean cand/block:", float(jnp.mean(scount.astype(jnp.float32))),
           " max:", int(jnp.max(scount)), flush=True)
     import ast
-    levels = sys.argv[3].split(",") if len(sys.argv) > 3 else ["6", "5", "4", "3", "2", "1", "f0", "0v", "0"]
+    levels = sys.argv[3].split(",") if len(sys.argv) > 3 else ["6", "5", "4", "3", "2", "1", "f0", "0"]
     for level in levels:
         lv = int(level) if level.isdigit() else level
         run(lv, sboxj, tilesj, org, d)

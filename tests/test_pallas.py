@@ -94,3 +94,72 @@ def test_stream_kernel_matches_bvh():
         np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_x))
 
     _interp(ps, run)
+
+
+def test_pairs_kernel_matches_bvh():
+    """Pair-stream traversal (ops/pallas_pairs.py) vs the skip-link loop:
+    incoherent rays, closest + occlusion, including the two-pass early
+    termination and per-super-chunk block padding."""
+    from imbatracer_tpu.ops import pallas_pairs as pp
+    from imbatracer_tpu.ops import pallas_stream as ps
+
+    def run():
+        scene, _ = make_cornell_scene()
+        sbox, tiles, center = ps.pack_stream_tiles(
+            np.asarray(scene.bvh.tri_v0), np.asarray(scene.bvh.tri_e1),
+            np.asarray(scene.bvh.tri_e2), np.asarray(scene.bvh.tri_id),
+        )
+        sboxj, tilesj = jnp.asarray(sbox), jnp.asarray(tiles)
+        rs = np.random.RandomState(17)
+        n = 1024
+        org = jnp.asarray(rs.rand(n, 3).astype(np.float32) * 1.6 - 0.8) + jnp.asarray(
+            [0, 1, 0], jnp.float32
+        )
+        d = jnp.asarray(rs.randn(n, 3), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        active = jnp.asarray(rs.rand(n) < 0.8)
+        org_c = org - jnp.asarray(center)[None, :]
+
+        hp = pp.closest_hit_pairs(sboxj, tilesj, org_c, d, 0.0, BIG,
+                                  active=active)
+        hx = closest_hit(scene.bvh, org, d, 0.0, BIG, active=active)
+        pid_p = np.asarray(hp.prim_id)
+        pid_x = np.asarray(hx.prim_id)
+        tp, tx = np.asarray(hp.t), np.asarray(hx.t)
+        # Rays hitting a shared edge tie at identical t; either triangle
+        # is a correct answer and tie-break order differs from the loop.
+        tie = (pid_p != pid_x) & (pid_p >= 0) & (pid_x >= 0) & (tp == tx)
+        agree = (pid_p == pid_x) | tie
+        assert agree.all(), np.where(~agree)[0]
+        m = (pid_x >= 0) & ~tie
+        np.testing.assert_allclose(tp[m], tx[m], rtol=1e-4)
+
+        occ_p = pp.any_hit_pairs(sboxj, tilesj, org_c, d, 0.0,
+                                 jnp.full((n,), 2.0), active=active)
+        occ_x = any_hit(scene.bvh, org, d, 0.0, jnp.full((n,), 2.0),
+                        active=active)
+        np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_x))
+
+    def _interp2(fn):
+        if jax.default_backend() != "cpu":
+            return fn()
+        import jax.experimental.pallas as pl
+        from imbatracer_tpu.ops import pallas_pairs as pp
+        from imbatracer_tpu.ops import pallas_stream as ps
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        pl.pallas_call = interp
+        pp.pl.pallas_call = interp
+        ps.pl.pallas_call = interp
+        try:
+            return fn()
+        finally:
+            pl.pallas_call = orig
+            pp.pl.pallas_call = orig
+            ps.pl.pallas_call = orig
+
+    _interp2(run)
