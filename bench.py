@@ -62,12 +62,50 @@ def main():
 
     mrays = total_rays / elapsed / 1e6
     n_chips = max(1, len(jax.devices()))
+
+    # Secondary: the same megastep on a big procedural scene (~50k tris,
+    # streaming/pair traversal — the number that exercises the general
+    # path; the cornell headline uses dense mode).  Recorded to
+    # results/bench_big.json so the headline JSON line stays single.
+    try:
+        big = _big_scene_metric()
+        os.makedirs("results", exist_ok=True)
+        with open("results/bench_big.json", "w") as f:
+            json.dump(big, f)
+    except Exception as e:  # never let the secondary kill the headline
+        sys.stderr.write(f"big-scene metric failed: {type(e).__name__}\n")
+
     print(json.dumps({
         "metric": "pt_megastep_throughput_cornell_1024",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays * (8 / n_chips) / 500.0, 4),
     }))
+
+
+def _big_scene_metric(boxes=4000, size=1024, frames=4):
+    from imbatracer_tpu.frontend.engine import make_frame_fn
+    from imbatracer_tpu.frontend.renderer import RenderSettings
+    from imbatracer_tpu.scene.procedural import make_big_scene
+
+    scene, meta = make_big_scene(boxes)
+    settings = RenderSettings(width=size, height=size, spp=1,
+                              algorithm="pt", max_path_len=6)
+    frame_fn, _ = make_frame_fn(scene, meta, settings)
+    jax.block_until_ready(frame_fn(jnp.uint32(0)))
+    t0 = time.time()
+    out = None
+    for i in range(1, frames + 1):
+        out = frame_fn(jnp.uint32(i))
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / frames
+    return {
+        "metric": "pt_frame_ms_bigscene_1024",
+        "tris": int(meta.num_tris),
+        "mode": scene.bvh.mode,
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/frame",
+    }
 
 
 if __name__ == "__main__":

@@ -34,18 +34,14 @@ feature tiles, rays8t (8, R) component-major."""
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_stream import (
     BIG,
     BLK,
-    SUPER,
     TILE_ROWS,
     TRI_ROWS,
     NGROUP,

@@ -441,12 +441,15 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
         st = c["state"]
         non_spec = ~mat_mod.is_specular(isect.params)
 
-        # --- NEE (vcm.cpp:424-427, 441-486) -----------------------------
+        # --- NEE + vertex connections: shadow rays batch into ONE
+        # any_hit dispatch (identical results, per-lane occlusion;
+        # amortises the dispatch/sort cost over 1+C ray sets).
+        shadow_batch = []
         if algo != "ppm":
             st, radiance = _direct_illum(
                 scene, isect, c["throughput"], d_vc, d_vcm, active, st,
                 radiance, mis_eta_vm, num_lights, algo, alpha_fn, max_steps,
-                enabled="next_event" in techniques,
+                enabled="next_event" in techniques, defer=shadow_batch,
             )
 
         # --- vertex connections (vcm.cpp:429-431, 488-569) --------------
@@ -458,8 +461,23 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                     light_path_count, num_connections, max_len,
                     cam_path_length=i + 1, base_radius=base_radius,
                     alpha_fn=alpha_fn, max_steps=max_steps,
-                    enabled="connect" in techniques,
+                    enabled="connect" in techniques, defer=shadow_batch,
                 )
+
+        if shadow_batch:
+            org_b = jnp.concatenate([e[0] for e in shadow_batch])
+            dir_b = jnp.concatenate([e[1] for e in shadow_batch])
+            tmin_b = jnp.concatenate([e[2] for e in shadow_batch])
+            tmax_b = jnp.concatenate([e[3] for e in shadow_batch])
+            ok_b = jnp.concatenate([e[4] for e in shadow_batch])
+            occ_b = any_hit(scene.bvh, org_b, dir_b, tmin_b, tmax_b,
+                            alpha_fn=alpha_fn, active=ok_b,
+                            max_steps=max_steps, sort=True)
+            nray = shadow_batch[0][4].shape[0]
+            for bi, (_, _, _, _, okc, contrib) in enumerate(shadow_batch):
+                occ = occ_b[bi * nray : (bi + 1) * nray]
+                radiance = radiance + jnp.where(
+                    (okc & ~occ)[..., None], contrib, 0.0)
 
         # --- vertex merging (vcm.cpp:433-436, 571-611) ------------------
         if algo in ("vcm", "ppm") and "merge" in techniques:
@@ -489,7 +507,7 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
 
 def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
                   radiance, mis_eta_vm, num_lights, algo, alpha_fn, max_steps=0,
-                  enabled=True):
+                  enabled=True, defer=None):
     state, (ul, ua, ub) = rng_mod.next_floats(state, 3)
     light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
     ds = light_mod.sample_direct(
@@ -511,6 +529,15 @@ def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
     contrib = throughput * f * ds.radiance * (w * cos_i * num_lights)[..., None]
     ok = ok & jnp.any(contrib > 0.0, axis=-1)
     offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
+    if defer is not None:
+        # Batched occlusion: the camera pass concatenates NEE +
+        # connection shadow rays into ONE any_hit dispatch (identical
+        # results — occlusion is per-lane — at a fraction of the
+        # fixed dispatch/sort cost).
+        if enabled:
+            defer.append((isect.pos, ds.dir, offset, ds.distance - offset,
+                          ok, contrib))
+        return state, radiance
     occluded = any_hit(scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
                        alpha_fn=alpha_fn, active=ok, max_steps=max_steps,
                        sort=True)
@@ -522,7 +549,7 @@ def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
 def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
              d_vc, d_vcm, active, state, radiance, mis_eta_vm,
              light_path_count, num_connections, max_len, *, cam_path_length,
-             base_radius, alpha_fn, max_steps=0, enabled=True):
+             base_radius, alpha_fn, max_steps=0, enabled=True, defer=None):
     """One vertex connection per ray (vcm.cpp:488-569)."""
     state, (uc,) = rng_mod.next_floats(state, 1)
     count = cache.count
@@ -575,6 +602,10 @@ def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
     ok = ok & jnp.any(contrib > 0.0, axis=-1)
 
     offset = 1e-3 * dist
+    if defer is not None:
+        if enabled:
+            defer.append((isect.pos, cdir, offset, dist - offset, ok, contrib))
+        return state, radiance
     occluded = any_hit(scene.bvh, isect.pos, cdir, offset, dist - offset,
                        alpha_fn=alpha_fn, active=ok, max_steps=max_steps,
                        sort=True)

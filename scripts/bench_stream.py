@@ -160,14 +160,17 @@ if __name__ == "__main__":
         tb = boxes_scene(nb)
         nt = tb.tri_v0.shape[0]
         print(f"--- scene {lbl} tris ({nt} packed)", flush=True)
+        # NB pairs variants run FIRST: the block-stream scattered entry
+        # on the 264k scene can fault the device (under investigation)
+        # and poisons the process for everything after it.
         for name, fn, kw in (
-            ("primary       ", primary_rays, {}),
-            ("primary tiled ", lambda n: primary_rays(n, tile=16), {}),
             ("primary pairs ", lambda n: primary_rays(n, tile=16),
              {"pairs": True}),
+            ("scattered prs ", scattered_rays, {"pairs": True}),
+            ("primary       ", primary_rays, {}),
+            ("primary tiled ", lambda n: primary_rays(n, tile=16), {}),
             ("scattered     ", scattered_rays, {}),
             ("scattered sort", scattered_rays, {"sort": True}),
-            ("scattered prs ", scattered_rays, {"pairs": True}),
         ):
             try:
                 bench(tb, 1 << 18, f"{lbl} {name}", fn, **kw)
