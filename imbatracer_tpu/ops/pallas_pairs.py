@@ -179,7 +179,7 @@ def _make_pair_kernel(occl: bool, instanced: bool):
             acc_ref[:, 2:3] = zeros
             acc_ref[:, 3:4] = zeros - 1.0
 
-        sc = bsc_ref[0, 0]
+        sc = bsc_ref[0, 0, 0]
 
         @pl.when(sc >= 0)
         def _():
@@ -262,15 +262,16 @@ def _make_pair_kernel(occl: bool, instanced: bool):
     return kernel
 
 
-def _pairs_call(pair_rays, block_sc2, tiles, occl=False, inst=None):
+def _pairs_call(pair_rays, block_sc3, tiles, occl=False, inst=None):
     num_p = pair_rays.shape[0]
     nblocks = num_p // BLK
     instanced = inst is not None
     in_specs = [
         pl.BlockSpec((BLK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, i), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (0, 0, i),
+                     memory_space=pltpu.SMEM),
     ]
-    args = [pair_rays, block_sc2]
+    args = [pair_rays, block_sc3]
     if instanced:
         tidx, iinst, itab = inst
         in_specs += [
@@ -326,7 +327,8 @@ def _run_pass(rays8, sc, ray, valid, num_s, max_pairs, tiles, occl, inst,
         per_pair = tmax_override[jnp.maximum(pair_ray, 0)]
         rows = rows.at[:, 7].set(
             jnp.where(pair_ray >= 0, per_pair, -1.0))
-    out = _pairs_call(rows, block_sc[None, :], tiles, occl=occl, inst=inst)
+    out = _pairs_call(rows, block_sc[None, None, :], tiles, occl=occl,
+                      inst=inst)
     return out, pair_ray
 
 
