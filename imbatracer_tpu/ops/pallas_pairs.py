@@ -268,7 +268,7 @@ def _pairs_call(pair_rays, block_sc3, tiles, occl=False, inst=None):
     instanced = inst is not None
     in_specs = [
         pl.BlockSpec((BLK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1), lambda i: (0, 0, i),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
     ]
     args = [pair_rays, block_sc3]
@@ -327,7 +327,7 @@ def _run_pass(rays8, sc, ray, valid, num_s, max_pairs, tiles, occl, inst,
         per_pair = tmax_override[jnp.maximum(pair_ray, 0)]
         rows = rows.at[:, 7].set(
             jnp.where(pair_ray >= 0, per_pair, -1.0))
-    out = _pairs_call(rows, block_sc[None, None, :], tiles, occl=occl,
+    out = _pairs_call(rows, block_sc[:, None, None], tiles, occl=occl,
                       inst=inst)
     return out, pair_ray
 
