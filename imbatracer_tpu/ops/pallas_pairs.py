@@ -355,17 +355,35 @@ def _segment_best(out, pair_ray, num_r):
             jnp.where(found, u, 0.0), jnp.where(found, v, 0.0))
 
 
+# Pass schedule: 1 = one machinery round over all K candidates per ray
+# (lowest fixed overhead — the XLA sorts/scatters/segment ops dominate
+# the measured cost); 2 = nearest-candidate pass + best-t-filtered
+# remainder (fewer kernel pairs, double machinery).
+PASSES = 1
+
+
 def closest_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None,
-                      inst=None, k_max=K_MAX):
+                      inst=None, k_max=K_MAX, passes=None):
     from ..render.traverse import Hit
 
+    passes = PASSES if passes is None else passes
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
     num_rp = rays8t.shape[1]                  # padded to BLK
     rays8 = rays8t.T                          # (Rp, 8)
     num_s = sbox.shape[0]
     idx, ent, _count = ray_candidates(rays8t, sbox, k_max)
-
     ridx = jnp.arange(num_rp, dtype=jnp.int32)
+
+    if passes == 1:
+        rayk = jnp.broadcast_to(ridx[:, None], idx.shape)
+        mp = num_rp * idx.shape[1] + num_s * BLK
+        out, pr = _run_pass(
+            rays8, jnp.maximum(idx.reshape(-1), 0), rayk.reshape(-1),
+            (idx >= 0).reshape(-1), num_s, mp, tiles, False, inst,
+        )
+        t, pid, u, v = _segment_best(out, pr, num_rp)
+        t, pid, u, v = t[:num_r], pid[:num_r], u[:num_r], v[:num_r]
+        return Hit(t=jnp.where(pid >= 0, t, BIG), prim_id=pid, u=u, v=v)
 
     # ---- pass 1: nearest candidate per ray -------------------------------
     sc1 = idx[:, 0]
@@ -397,13 +415,28 @@ def closest_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None,
 
 
 def any_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None, inst=None,
-                  k_max=K_MAX):
+                  k_max=K_MAX, passes=None):
+    passes = PASSES if passes is None else passes
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
     num_rp = rays8t.shape[1]
     rays8 = rays8t.T
     num_s = sbox.shape[0]
     idx, ent, _count = ray_candidates(rays8t, sbox, k_max)
     ridx = jnp.arange(num_rp, dtype=jnp.int32)
+
+    if passes == 1:
+        rayk = jnp.broadcast_to(ridx[:, None], idx.shape)
+        mp = num_rp * idx.shape[1] + num_s * BLK
+        out, pr = _run_pass(
+            rays8, jnp.maximum(idx.reshape(-1), 0), rayk.reshape(-1),
+            (idx >= 0).reshape(-1), num_s, mp, tiles, True, inst,
+        )
+        seg = jnp.where(pr >= 0, pr, num_rp)
+        occ = jax.ops.segment_max(
+            jnp.where(pr >= 0, out[:, 0], 0.0), seg,
+            num_segments=num_rp + 1,
+        )[:num_rp] > 0.0
+        return occ[:num_r]
 
     # pass 1: nearest candidate (cheap resolve for most shadow rays)
     sc1 = idx[:, 0]

@@ -182,8 +182,15 @@ DENSE_MAX_TRIS = 1024
 ALPHA_ROUNDS = 4
 
 # Route incoherent (sort=True) stream dispatches through the pair-stream
-# kernel (ops/pallas_pairs.py).
-USE_PAIRS = True
+# kernel (ops/pallas_pairs.py).  OFF by default: measured end-to-end the
+# pair queue's XLA machinery (top-k, pair sorts, scatter placement,
+# segment reductions — scatters lower near-serially on this chip)
+# currently outweighs its zero-divergence kernel win (24k-tri scene,
+# 262k rays: pairs 1.3-1.6 Mrays/s vs 11.7 tiled stream / 1.0 sorted
+# stream; the 48k-tri PT frame regressed 7.2 -> 12.6 s).  The kernel
+# side is sound — revisit when the queue build moves to sort-only
+# placement.
+USE_PAIRS = False
 
 
 def _inst(bvh):
@@ -328,10 +335,16 @@ def closest_hit(
         from ..ops.pallas_stream import closest_hit_stream
 
         if alpha_fn is None:
-            # Incoherent dispatches (bounce/shadow batches) go through the
-            # pair-stream queue — zero block divergence; coherent primary
-            # batches stay on the per-block candidate walk.
-            fn = closest_hit_pairs if (sort and USE_PAIRS) else closest_hit_stream
+            # Incoherent dispatches (bounce/shadow batches): Morton-sorted
+            # stream by default; the pair-stream queue behind USE_PAIRS.
+            if sort and USE_PAIRS:
+                fn = closest_hit_pairs
+            elif sort:
+                from ..ops.pallas_stream import closest_hit_sorted
+
+                fn = closest_hit_sorted
+            else:
+                fn = closest_hit_stream
             return fn(bvh.sbox, bvh.tiles, _recenter(bvh, org), d, tmin,
                       tmax, active=active, inst=_inst(bvh))
         return _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)
@@ -401,7 +414,14 @@ def any_hit(
         from ..ops.pallas_stream import any_hit_stream
 
         if alpha_fn is None:
-            fn = any_hit_pairs if (sort and USE_PAIRS) else any_hit_stream
+            if sort and USE_PAIRS:
+                fn = any_hit_pairs
+            elif sort:
+                from ..ops.pallas_stream import any_hit_sorted
+
+                fn = any_hit_sorted
+            else:
+                fn = any_hit_stream
             return fn(bvh.sbox, bvh.tiles, _recenter(bvh, org),
                       d, tmin, tmax, active=active, inst=_inst(bvh))
         hit = _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)
