@@ -48,9 +48,15 @@ def _cell_hash(cx, cy, cz, table_size: int):
 
 
 @partial(jax.jit, static_argnames=("table_size",))
-def build_hash_grid(pos, valid, radius, table_size: int) -> HashGrid:
+def build_hash_grid(pos, valid, radius, table_size: int,
+                    payload=None) -> HashGrid:
     """pos: (P, 3); valid: (P,) bool; radius: scalar.  Invalid photons are
-    routed to the out-of-range cell `table_size` and never matched."""
+    routed to the out-of-range cell `table_size` and never matched.
+
+    `payload` (P, D<=12, optional): per-photon data carried INSIDE the
+    sorted record so a range query needs exactly one windowed row gather
+    (record = [x y z idx_bits payload..., pad to 8/16] — the fused-record
+    rule: every extra indirection is another near-serial gather)."""
     big = jnp.float32(1e30)
     bbox_min = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
     bbox_max = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
@@ -72,14 +78,18 @@ def build_hash_grid(pos, valid, radius, table_size: int) -> HashGrid:
     ).astype(jnp.int32)
 
     pos_sorted = jnp.where(valid[order][:, None], pos[order], big)
-    rec = jnp.concatenate(
-        [
-            pos_sorted,
-            jax.lax.bitcast_convert_type(order.astype(jnp.int32), jnp.float32)[:, None],
-            jnp.zeros((pos.shape[0], 4), jnp.float32),
-        ],
-        axis=1,
-    )
+    cols = [
+        pos_sorted,
+        jax.lax.bitcast_convert_type(order.astype(jnp.int32), jnp.float32)[:, None],
+    ]
+    width = 8
+    if payload is not None:
+        cols.append(payload[order])
+        width = 16 if 4 + payload.shape[1] > 8 else 8
+    used = sum(col.shape[1] for col in cols)
+    if used < width:
+        cols.append(jnp.zeros((pos.shape[0], width - used), jnp.float32))
+    rec = jnp.concatenate(cols, axis=1)
     return HashGrid(
         sorted_rec=rec,
         cell_start=cell_start,
@@ -87,6 +97,47 @@ def build_hash_grid(pos, valid, radius, table_size: int) -> HashGrid:
         inv_cell=inv_cell,
         radius_sqr=radius * radius,
     )
+
+
+def cell_windows(grid: HashGrid, qpos, max_per_cell: int):
+    """Yield the 8 neighbour-cell candidate windows around each query.
+
+    Per cell: (rec (R, W, C) gathered records, d2 (R, W), ok (R, W)
+    in-range-and-in-radius mask, scale (R,) truncation compensation).
+    One wide row gather per cell, no sorting — the fixed-radius
+    formulation (the reference's range search, rangesearch.h:90-129; the
+    kNN variant query_knn adds per-row top-k sorts that measure
+    ~50-100 ms each at 262k queries).
+
+    `scale` = cell_count / min(cell_count, W): the reference walks every
+    photon in the cell; the window keeps the first W, so scaling the
+    windowed sum by N/W keeps the estimator's expectation (the kept
+    photons are an arbitrary-but-position-independent subset)."""
+    cellf = (qpos - grid.bbox_min) * grid.inv_cell
+    coord = jnp.floor(cellf)
+    fract = cellf - coord
+    base = coord.astype(jnp.int32)
+    off = jnp.where(fract < 0.5, -1, 1)
+    table_size = grid.cell_start.shape[0] - 1
+    ar = jnp.arange(max_per_cell, dtype=jnp.int32)
+
+    for j in range(8):
+        cx = base[:, 0] + (off[:, 0] if j & 4 else 0)
+        cy = base[:, 1] + (off[:, 1] if j & 2 else 0)
+        cz = base[:, 2] + (off[:, 2] if j & 1 else 0)
+        h = _cell_hash(cx, cy, cz, table_size)
+        start = grid.cell_start[h]
+        end = grid.cell_start[h + 1]
+        idx2d = start[:, None] + ar[None, :]
+        in_range = idx2d < end[:, None]
+        rec = grid.sorted_rec[jnp.where(in_range, idx2d, 0)]   # (R, W, C)
+        d2 = jnp.sum((rec[..., 0:3] - qpos[:, None, :]) ** 2, axis=-1)
+        ok = in_range & (d2 <= grid.radius_sqr)
+        n_cell = (end - start).astype(jnp.float32)
+        scale = n_cell / jnp.maximum(
+            jnp.minimum(n_cell, float(max_per_cell)), 1.0
+        )
+        yield rec, d2, ok, scale
 
 
 @partial(jax.jit, static_argnames=("k", "max_per_cell", "table_size"))
