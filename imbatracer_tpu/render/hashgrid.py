@@ -130,7 +130,15 @@ def cell_windows(grid: HashGrid, qpos, max_per_cell: int):
         end = grid.cell_start[h + 1]
         idx2d = start[:, None] + ar[None, :]
         in_range = idx2d < end[:, None]
-        rec = grid.sorted_rec[jnp.where(in_range, idx2d, 0)]   # (R, W, C)
+        # Flat 1-D row-index gather (equivalent to the 2-D-batched form;
+        # measured identical — XLA canonicalises both.  The window
+        # machinery costs ~22 ms/cell at 262k queries, ~6x the
+        # traversal-record row-gather rate; a Pallas per-cell-DMA merge
+        # is the round-3 path past this).
+        flat = jnp.where(in_range, idx2d, 0).reshape(-1)
+        rec = grid.sorted_rec[flat].reshape(
+            idx2d.shape[0], idx2d.shape[1], grid.sorted_rec.shape[1]
+        )                                                      # (R, W, C)
         d2 = jnp.sum((rec[..., 0:3] - qpos[:, None, :]) ** 2, axis=-1)
         ok = in_range & (d2 <= grid.radius_sqr)
         n_cell = (end - start).astype(jnp.float32)
