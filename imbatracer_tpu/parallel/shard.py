@@ -285,7 +285,7 @@ def render_vcm_frame_sharded(
     num_knn: int = 10,
     cache_capacity: int = 0,
     table_size: int = 0,
-    max_per_cell: int = 8,
+    max_per_cell: int = 4,
     has_masks: bool = False,
     has_bump: bool = False,
     max_steps: int = 0,
