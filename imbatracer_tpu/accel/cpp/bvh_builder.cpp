@@ -248,7 +248,37 @@ struct SBuilder {
         return out;
     }
 
-    int build(std::vector<Ref>& refs) {
+    // Deferred subtree: refs to build + the right[] slot to patch with
+    // the subtree's root (-1 = left child, implicit preorder position).
+    struct Work {
+        std::vector<Ref> refs;
+        int patch;
+    };
+
+    // Explicit-stack DFS driver (same discipline as the NumPy builder,
+    // accel/sbvh.py): recursion depth equalled tree depth, and SAH /
+    // spatial splits can peel leaf-sized slivers — O(n / leaf_size)
+    // frames on degenerate input overflows the thread stack.  Pushing
+    // {right, left} and popping LIFO reproduces the recursive preorder
+    // emission exactly (left child == node + 1).
+    int build(std::vector<Ref>& root_refs) {
+        std::vector<Work> work;
+        work.push_back({std::move(root_refs), -1});
+        int root = -1;
+        while (!work.empty()) {
+            Work w = std::move(work.back());
+            work.pop_back();
+            const int node = step(w.refs, work);
+            if (w.patch >= 0) right[w.patch] = node;
+            if (root < 0) root = node;
+        }
+        return root;
+    }
+
+    // One split step: emits `node` for refs and either makes a leaf or
+    // pushes the two children onto `work` (right first, so left pops
+    // next and lands at node + 1).
+    int step(std::vector<Ref>& refs, std::vector<Work>& work) {
         BBox bb;
         for (const Ref& r : refs) bb.extend(r.box);
         const int node = emit_node(bb);
@@ -407,8 +437,8 @@ struct SBuilder {
                 }
                 refs.clear();
                 refs.shrink_to_fit();
-                build(left);
-                right[node] = build(right_refs);
+                work.push_back({std::move(right_refs), node});
+                work.push_back({std::move(left), -1});
                 return node;
             }
         }
@@ -447,8 +477,8 @@ struct SBuilder {
         }
         refs.clear();
         refs.shrink_to_fit();
-        build(left);
-        right[node] = build(right_refs);
+        work.push_back({std::move(right_refs), node});
+        work.push_back({std::move(left), -1});
         return node;
     }
 

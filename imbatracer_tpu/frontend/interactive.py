@@ -20,6 +20,7 @@ Keys:  w/a/s/d  move      q/e   down/up        i/j/k/l  look
 from __future__ import annotations
 
 import os
+import re
 import select
 import shutil
 import sys
@@ -115,16 +116,37 @@ def ansi_preview(img: np.ndarray, cols: int, rows: int) -> str:
     return "\n".join(lines)
 
 
+_CSI_RE = re.compile(
+    r"\x1b\[A|\x1b\[B|\x1b\[C|\x1b\[D"      # arrows (mapped below)
+    r"|\x1b\[[0-9;<=>?]*[a-zA-Z~]"          # other CSI (F-keys, mouse, ...)
+    r"|\x1bO."                               # SS3 (F1-F4, keypad)
+)
+
+
+def _map_escape(m: "re.Match[str]") -> str:
+    return {"\x1b[A": "i", "\x1b[B": "k",
+            "\x1b[D": "j", "\x1b[C": "l"}.get(m.group(0), "")
+
+
 def _read_keys(timeout: float) -> str:
-    """Drain pending stdin bytes (raw mode), arrow keys mapped to ijkl."""
+    """Drain pending stdin bytes (raw mode), arrow keys mapped to ijkl.
+
+    Unrecognised CSI/SS3 escape sequences (F-keys, Home/End, mouse
+    reports) are STRIPPED, not passed through: a leftover raw \\x1b would
+    read as ESC and quit the session.  Only a bare ESC (no following
+    bytes in the same drain) reaches the key loop."""
     keys = ""
     while True:
         r, _, _ = select.select([sys.stdin], [], [], timeout)
         if not r:
             return keys
         ch = os.read(sys.stdin.fileno(), 64).decode(errors="ignore")
-        ch = (ch.replace("\x1b[A", "i").replace("\x1b[B", "k")
-                .replace("\x1b[D", "j").replace("\x1b[C", "l"))
+        ch = _CSI_RE.sub(_map_escape, ch)
+        # Any ESC still followed by bytes is an unfinished/unknown
+        # sequence — drop through the end of the chunk.
+        idx = ch.find("\x1b")
+        if idx >= 0 and idx != len(ch) - 1:
+            ch = ch[:idx]
         keys += ch
         timeout = 0.0
 

@@ -97,11 +97,15 @@ def render_pt_frame_sharded(
     frame = jnp.asarray(frame, jnp.uint32)
     # Per-device dispatch cap, same rationale as the single-chip bands.
     band = min((1 << 18) // max(spp, 1), max(num_pixels // n_dev, 1))
-    stride = band * n_dev
     film = jnp.zeros((num_pixels, 3), jnp.float32)
     stats = jnp.zeros((), jnp.int32)
-    for start in range(0, num_pixels, stride):
-        bp = min(band, max((num_pixels - start) // n_dev, 1))
+    # Sharded bands cover exactly bp * n_dev pixels each; the final
+    # < n_dev remainder is rendered un-sharded below, so every pixel is
+    # rendered exactly once for ANY resolution (no divisibility clamp —
+    # the old `max(remainder // n_dev, 1)` could under- or over-cover).
+    start = 0
+    while num_pixels - start >= n_dev:
+        bp = min(band, (num_pixels - start) // n_dev)
         out = _pt_band_sharded(
             scene, cam, frame, jnp.int32(start), width=width, height=height,
             spp=spp, max_len=max_len, has_masks=has_masks, has_bump=has_bump,
@@ -114,6 +118,20 @@ def render_pt_frame_sharded(
             stats = stats + n
         else:
             film = film + out
+        start += bp * n_dev
+    if start < num_pixels:
+        from ..render.integrators.pt import _pt_band
+
+        tail = num_pixels - start
+        out = _pt_band(
+            scene, cam, frame, jnp.int32(start), width=width, height=height,
+            spp=spp, max_len=max_len, has_masks=has_masks, has_bump=has_bump,
+            with_stats=with_stats, max_steps=max_steps, band_pixels=tail,
+        )
+        part = out[0] if with_stats else out
+        film = film.at[start : start + tail].add(part)
+        if with_stats:
+            stats = stats + out[1]
     if with_stats:
         return film, stats
     return film
@@ -317,16 +335,25 @@ def render_vcm_frame_sharded(
     grid = None
 
     if algo != "pt":
+        # Light paths shard the ESTIMATOR's sample space: tracing more
+        # (or fewer) paths than light_path_count biases the light-tracing
+        # film, so the count must split exactly over the mesh.  The
+        # engine/CLI round it up to a mesh multiple (engine.py); direct
+        # callers must do the same.
+        if light_path_count % n_dev != 0:
+            raise ValueError(
+                f"light_path_count ({light_path_count}) must be divisible "
+                f"by the mesh size ({n_dev}); round it up as engine.py does"
+            )
         # Per-device band, global stride n_dev * band: the shard split of
         # the path index space equals the single-chip band split.
-        band = min(BAND_RAYS, max(light_path_count // n_dev, 1))
+        band = min(BAND_RAYS, light_path_count // n_dev)
         stride = band * n_dev
         cache = empty_cache(cache_capacity)
         for start in range(0, light_path_count, stride):
-            # Tail: shrink the band so n_dev * band covers the remainder
-            # (path counts not divisible by the mesh fall back on the
-            # caller to pad light_path_count; the CLI rounds to the mesh).
-            bp = min(band, max((light_path_count - start) // n_dev, 1))
+            # Remainders stay divisible by n_dev (count and stride both
+            # are), so the tail band is exact.
+            bp = min(band, (light_path_count - start) // n_dev)
             local_cap = max(2 * bp, 1024)
             light_film, shard_cache = _vcm_light_band_sharded(
                 scene, cam, frame, base_radius, jnp.int32(start),
@@ -351,10 +378,14 @@ def render_vcm_frame_sharded(
     if algo != "lt":
         band = min(BAND_RAYS // max(spp, 1),
                    max(num_pixels // n_dev, 1))
-        stride = band * n_dev
         parts = []
-        for start in range(0, num_pixels, stride):
-            bp = min(band, max((num_pixels - start) // n_dev, 1))
+        # Sharded bands cover exactly bp * n_dev pixels; the final
+        # < n_dev remainder renders un-sharded (single-device band), so
+        # the concatenated parts cover every pixel exactly once for ANY
+        # resolution.
+        start = 0
+        while num_pixels - start >= n_dev:
+            bp = min(band, (num_pixels - start) // n_dev)
             parts.append(_vcm_camera_band_sharded(
                 scene, cam, frame, cache, grid, base_radius,
                 jnp.int32(start), mesh=mesh, algo=algo, width=width,
@@ -364,6 +395,20 @@ def render_vcm_frame_sharded(
                 table_size=table_size, max_per_cell=max_per_cell,
                 has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
                 techniques=techniques, band_pixels=bp,
+            ))
+            start += bp * n_dev
+        if start < num_pixels:
+            from ..render.integrators.vcm import _vcm_camera_band
+
+            parts.append(_vcm_camera_band(
+                scene, cam, frame, cache, grid, base_radius, algo=algo,
+                width=width, height=height, spp=spp, max_len=max_len,
+                light_path_count=light_path_count,
+                num_connections=num_connections, num_knn=num_knn,
+                table_size=table_size, max_per_cell=max_per_cell,
+                has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
+                techniques=techniques, start_pixel=jnp.int32(start),
+                band_pixels=num_pixels - start,
             ))
         cam_film = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         film = film + cam_film

@@ -112,7 +112,21 @@ def cell_windows(grid: HashGrid, qpos, max_per_cell: int):
     `scale` = cell_count / min(cell_count, W): the reference walks every
     photon in the cell; the window keeps the first W, so scaling the
     windowed sum by N/W keeps the estimator's expectation (the kept
-    photons are an arbitrary-but-position-independent subset)."""
+    photons are an arbitrary-but-position-independent subset).
+
+    Known approximations of the windowed form (both are exact in the
+    reference's unbounded walk, and in the TPU Pallas merge kernel,
+    ops/pallas_merge.py, which walks every photon in the cell run):
+    - `cell_count` is the HASH-BUCKET population, which can include
+      photons from hash-collided unrelated cells; in a collided bucket
+      the in-radius photons inside the first-W window get scaled by an
+      inflated N/W.  Mitigate by sizing table_size for a low load
+      factor (the default is 2x capacity -> collisions are rare).
+    - the kept subset is the deterministic bucket prefix, not a random
+      sample; the expectation argument assumes photon contributions are
+      exchangeable within a cell, which weight-varying photons only
+      approximately are.  Validated against the exact walk at image
+      level (tests/test_pallas_merge.py, scripts/profile_vcm.py)."""
     cellf = (qpos - grid.bbox_min) * grid.inv_cell
     coord = jnp.floor(cellf)
     fract = cellf - coord

@@ -133,9 +133,14 @@ def canonicalize(cache: LightVertexCache) -> LightVertexCache:
     cap = cache.capacity
     idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < cache.count
-    key = jnp.where(valid, cache.path_id * 64 + cache.path_length,
-                    jnp.int32(2**31 - 1))
-    _, order = jax.lax.sort((key, idx), num_keys=1)
+    # Two-key sort (path_id major, path_length minor): a fused
+    # `path_id * K + length` key would collide once length can reach K
+    # and overflow int32 near 2^31 / K paths — both silent breaks of the
+    # multi-chip bit-match contract.  Invalid rows sort last via the
+    # max path_id key.
+    key_major = jnp.where(valid, cache.path_id, jnp.int32(2**31 - 1))
+    key_minor = jnp.where(valid, cache.path_length, jnp.int32(2**31 - 1))
+    _, _, order = jax.lax.sort((key_major, key_minor, idx), num_keys=2)
     rec = cache.packed()[order]
     bits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
     return LightVertexCache(

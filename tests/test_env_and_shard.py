@@ -147,3 +147,41 @@ def test_light_pass_band_invariance():
         split = split + f
     np.testing.assert_allclose(np.asarray(whole), np.asarray(split),
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_tail_handling():
+    """Pixel counts not divisible by the mesh must still render every
+    pixel exactly once (regression: the old `max(rem // n_dev, 1)` clamp
+    under-covered the tail, leaving trailing pixels black, or addressed
+    out-of-range pixels).  The final < n_dev pixels run un-sharded."""
+    from imbatracer_tpu.parallel.shard import (
+        make_mesh, render_pt_frame_sharded, render_vcm_frame_sharded)
+    from imbatracer_tpu.render.camera import make_camera
+    from imbatracer_tpu.render.integrators.pt import render_pt_frame
+    from imbatracer_tpu.render.integrators.vcm import render_vcm_frame
+
+    scene, meta = make_cornell_scene()
+    w, h = 13, 5  # 65 pixels: 65 = 8*8 + 1 on an 8-device mesh
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, w, h, 60.0)
+    mesh = make_mesh(jax.devices()[:8])
+
+    a = np.asarray(render_pt_frame(scene, cam, jnp.uint32(0), w, h, max_len=3))
+    b = np.asarray(render_pt_frame_sharded(
+        scene, cam, jnp.uint32(0), w, h, mesh, max_len=3))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    kw = dict(algo="bpt", width=w, height=h, max_len=3,
+              light_path_count=256, cache_capacity=4096)
+    r = jnp.float32(0.05)
+    va = np.asarray(render_vcm_frame(scene, cam, jnp.uint32(0), r, **kw))
+    vb = np.asarray(render_vcm_frame_sharded(
+        scene, cam, jnp.uint32(0), r, mesh, **kw))
+    np.testing.assert_allclose(va, vb, rtol=2e-4, atol=2e-5)
+
+    # Non-mesh-divisible light path counts are an estimator error, not a
+    # silent truncation.
+    with pytest.raises(ValueError, match="divisible"):
+        render_vcm_frame_sharded(
+            scene, cam, jnp.uint32(0), r, mesh, algo="bpt", width=w,
+            height=h, max_len=3, light_path_count=255, cache_capacity=4096)
