@@ -132,6 +132,13 @@ def make_camera_frame_fn(scene, meta, settings: RenderSettings):
 
     lpc = settings.resolved_light_path_count()
 
+    # Static material-kind set: kinds absent from the scene compile out
+    # of the Pallas merge kernel (ops/pallas_merge.py).
+    import numpy as np
+
+    mat_kinds = tuple(sorted(set(
+        int(k) for k in np.asarray(scene.materials.kind))))
+
     if mesh is not None:
         from ..parallel.shard import render_vcm_frame_sharded
 
@@ -149,6 +156,7 @@ def make_camera_frame_fn(scene, meta, settings: RenderSettings):
                 has_masks=meta.has_masks,
                 has_bump=getattr(meta, "has_bump", False),
                 max_steps=max_steps,
+                mat_kinds=mat_kinds,
             )
         return core, cam
 
@@ -163,6 +171,7 @@ def make_camera_frame_fn(scene, meta, settings: RenderSettings):
             has_masks=meta.has_masks,
             has_bump=getattr(meta, "has_bump", False),
             max_steps=max_steps,
+            mat_kinds=mat_kinds,
         )
 
     return core, cam

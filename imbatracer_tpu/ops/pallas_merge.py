@@ -179,6 +179,8 @@ def _make_kernel(kinds: tuple, ppm: bool):
 
     def kernel(qrec_ref, spans_ref, scal_ref, ptiles_ref, out_ref,
                acc_ref, ptile_ref, sem_ref):
+        # NB spans/scal ride in SMEM as 3-D blocks with the grid dim
+        # leading — the Mosaic block rule (see ops/pallas_pairs.py).
         col = lambda c: qrec_ref[:, c : c + 1]            # (BLKQ, 1)
         qx, qy, qz = col(0), col(1), col(2)
         tx, ty, tz = col(3), col(4), col(5)
@@ -194,8 +196,8 @@ def _make_kernel(kinds: tuple, ppm: bool):
         ns = col(28)
         qact = col(33) > 0.5
 
-        r2 = scal_ref[0, 0]
-        eta_vc = scal_ref[0, 1]
+        r2 = scal_ref[0, 0, 0]
+        eta_vc = scal_ref[0, 0, 1]
         inv_r2 = 1.0 / jnp.maximum(r2, 1e-30)
 
         zeros = jnp.zeros_like(qx)
@@ -361,8 +363,8 @@ def _make_kernel(kinds: tuple, ppm: bool):
         # Four neighbour-cell combos, each a contiguous tile span.
         for c in range(4):
             qk = col(29 + c)
-            t0 = spans_ref[0, c]
-            nt = spans_ref[0, 4 + c]
+            t0 = spans_ref[0, 0, c]
+            nt = spans_ref[0, 0, 4 + c]
 
             @pl.when(nt > 0)
             def _(t0=t0):
@@ -396,8 +398,10 @@ def _merge_call(qrec, spans, scal, tiles, kinds: tuple, ppm: bool):
         in_specs=[
             pl.BlockSpec((BLKQ, QREC_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BLKQ, 8), lambda i: (i, 0),
@@ -494,11 +498,12 @@ def merge_contrib(grid: MergeGrid, qpos, normal, gn, w_out, params,
                            side="right").reshape(num_b, 4).astype(jnp.int32)
     t0 = start // PT
     nt = jnp.where(end > start, (end - 1) // PT - t0 + 1, 0)
-    spans = jnp.concatenate([t0, nt], axis=1).astype(jnp.int32)  # (B, 8)
+    spans = jnp.concatenate(
+        [t0, nt], axis=1).astype(jnp.int32).reshape(num_b, 1, 8)
 
     scal = jnp.stack(
         [grid.radius_sqr, jnp.asarray(mis_eta_vc, jnp.float32)]
-    ).reshape(1, 2)
+    ).reshape(1, 1, 2)
 
     out = _merge_call(qrec_s, spans, scal, grid.tiles, kinds, ppm)
     return out[inv_perm, 0:3]

@@ -349,31 +349,43 @@ def _make_kernel(occl: bool, instanced: bool):
     primitive-id offsets).  Rays are transformed with UNNORMALISED mesh-
     space directions so the hit parameter t is identical in both spaces
     (the reference normalises and rescales, cpu_adapter.cpp:346-366; the
-    unnormalised form needs no rescale and keeps best-t shared)."""
+    unnormalised form needs no rescale and keeps best-t shared).
+
+    Epilogue (round 3): the best hit is tracked per LANE COLUMN
+    (cols_ref, (BLK, GROUP) running minima updated with pure elementwise
+    selects) and reduced across lanes once per CANDIDATE — the previous
+    per-group epilogue paid five cross-lane reductions per 128-triangle
+    group (min + eq-select + three masked-max picks), which dominated
+    the MT cost (58 of 80 ms/dispatch measured at 24k tris).  Ties
+    between triangles with bit-equal t now resolve by (lane, then u/v/id
+    max) instead of (group, then u/v/id max) — both arbitrary, both
+    deterministic."""
 
     def kernel(*refs):
         if instanced:
             (rays_ref, sbox_ref, slist_ref, skey_ref, scount_ref, tidx_ref,
              iinst_ref, itab_ref, tiles_ref, out_ref, acc_ref, tile_ref,
              gflag_ref, glist_ref, gcnt_ref, stop_ref, pend_ref,
-             sem_ref) = refs
+             sem_ref, cols_ref) = refs
         else:
             (rays_ref, sbox_ref, slist_ref, skey_ref, scount_ref, tiles_ref,
              out_ref, acc_ref, tile_ref, gflag_ref, glist_ref, gcnt_ref,
-             stop_ref, pend_ref, sem_ref) = refs
+             stop_ref, pend_ref, sem_ref, cols_ref) = refs
 
         ox, oy, oz, tmin, dx, dy, dz, tmax, ix, iy, iz = _ray_cols(rays_ref)
         zeros = jnp.zeros_like(ox)
         if occl:
             acc_ref[:, 0:1] = zeros
+            cols_ref[0, :, :] = jnp.zeros((BLK, GROUP), jnp.float32)
             # Early-exit bound: the farthest tmax any unoccluded lane
             # still needs (inactive lanes carry tmax < 0).
             stop_ref[0] = jnp.max(tmax)
         else:
             acc_ref[:, 0:1] = tmax
-            acc_ref[:, 1:2] = zeros
-            acc_ref[:, 2:3] = zeros
-            acc_ref[:, 3:4] = zeros - 1.0
+            cols_ref[0, :, :] = jnp.full((BLK, GROUP), BIG, jnp.float32)
+            cols_ref[1, :, :] = jnp.zeros((BLK, GROUP), jnp.float32)
+            cols_ref[2, :, :] = jnp.zeros((BLK, GROUP), jnp.float32)
+            cols_ref[3, :, :] = jnp.full((BLK, GROUP), -1.0, jnp.float32)
             stop_ref[0] = jnp.max(tmax)
         pend_ref[0] = -1
 
@@ -464,39 +476,40 @@ def _make_kernel(occl: bool, instanced: bool):
                     t, u, v, tid, ok = _mt_group(
                         tile_ref, slot, g, rc, tmin, limit
                     )
+                    # Pure elementwise per-column best updates — no
+                    # cross-lane reductions inside the group loop (see
+                    # the factory docstring).
                     if occl:
-                        found = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1,
-                                        keepdims=True)
-                        acc_ref[:, 0:1] = jnp.maximum(acc_ref[:, 0:1], found)
+                        cols_ref[0, :, :] = jnp.maximum(
+                            cols_ref[0, :, :], jnp.where(ok, 1.0, 0.0))
                         return 0
                     if id_off is not None:
                         tid = tid + id_off
-                    best_t = acc_ref[:, 0:1]
                     t = jnp.where(ok, t, BIG)
-                    t_min = jnp.min(t, axis=1, keepdims=True)   # (BLK, 1)
-                    improved = t_min < best_t
-                    sel = t == t_min
-                    pick = lambda a: jnp.max(
-                        jnp.where(sel, a, -BIG), axis=1, keepdims=True
-                    )
-                    acc_ref[:, 0:1] = jnp.where(improved, t_min, best_t)
-                    acc_ref[:, 1:2] = jnp.where(improved, pick(u),
-                                                acc_ref[:, 1:2])
-                    acc_ref[:, 2:3] = jnp.where(improved, pick(v),
-                                                acc_ref[:, 2:3])
-                    acc_ref[:, 3:4] = jnp.where(
-                        improved, pick(tid * jnp.ones_like(u)),
-                        acc_ref[:, 3:4]
-                    )
+                    bt = cols_ref[0, :, :]
+                    closer = t < bt
+                    cols_ref[0, :, :] = jnp.where(closer, t, bt)
+                    cols_ref[1, :, :] = jnp.where(closer, u,
+                                                  cols_ref[1, :, :])
+                    cols_ref[2, :, :] = jnp.where(closer, v,
+                                                  cols_ref[2, :, :])
+                    cols_ref[3, :, :] = jnp.where(
+                        closer, tid * jnp.ones_like(u), cols_ref[3, :, :])
                     return 0
 
                 jax.lax.fori_loop(0, gcnt_ref[0], mt_body, 0)
 
-                # Shrink the exit bound from this candidate's results.
+                # ONE cross-lane reduction per candidate: refresh the
+                # per-ray best (culling + exit bound).
                 if occl:
+                    acc_ref[:, 0:1] = jnp.max(cols_ref[0, :, :], axis=1,
+                                              keepdims=True)
                     need = jnp.where(acc_ref[:, 0:1] > 0.0, -BIG, tmax)
                     stop_ref[0] = jnp.max(need)
                 else:
+                    acc_ref[:, 0:1] = jnp.minimum(
+                        acc_ref[:, 0:1],
+                        jnp.min(cols_ref[0, :, :], axis=1, keepdims=True))
                     stop_ref[0] = jnp.max(acc_ref[:, 0:1])
 
             nk = k + 1
@@ -517,7 +530,19 @@ def _make_kernel(occl: bool, instanced: bool):
             out_ref[:, 0:1] = acc_ref[:, 0:1]
             out_ref[:, 1:8] = jnp.concatenate([zeros] * 7, axis=1)
         else:
-            out_ref[:, 0:4] = acc_ref[:, 0:4]
+            # Final cross-lane resolve, once per block: winner lane =
+            # first column holding the best t; u/v/id picked from it.
+            bt = cols_ref[0, :, :]
+            t_fin = acc_ref[:, 0:1]
+            sel = (bt == t_fin) & (bt < BIG)
+            pick = lambda a: jnp.max(jnp.where(sel, a, -BIG), axis=1,
+                                     keepdims=True)
+            got = jnp.max(jnp.where(sel, 1.0, 0.0), axis=1,
+                          keepdims=True) > 0.0
+            out_ref[:, 0:1] = t_fin
+            out_ref[:, 1:2] = jnp.where(got, pick(cols_ref[1, :, :]), 0.0)
+            out_ref[:, 2:3] = jnp.where(got, pick(cols_ref[2, :, :]), 0.0)
+            out_ref[:, 3:4] = jnp.where(got, pick(cols_ref[3, :, :]), -1.0)
             out_ref[:, 4:8] = jnp.concatenate([zeros] * 4, axis=1)
 
     return kernel
@@ -569,6 +594,9 @@ def _stream_call(raysT, sbox, slist, skey, scount, tiles, occl=False,
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
+            # Per-lane-column running best (t/u/v/id; 1 flag plane for
+            # occlusion) — the reduction-free group epilogue.
+            pltpu.VMEM((1 if occl else 4, BLK, GROUP), jnp.float32),
         ],
     )(*args)
 

@@ -243,13 +243,14 @@ def _vcm_light_band_sharded(scene, cam, frame, base_radius, path_start, *,
 @partial(jax.jit, static_argnames=(
     "mesh", "algo", "width", "height", "spp", "max_len", "light_path_count",
     "num_connections", "num_knn", "table_size", "max_per_cell", "has_masks",
-    "has_bump", "max_steps", "techniques", "band_pixels",
+    "has_bump", "max_steps", "techniques", "band_pixels", "mat_kinds",
 ))
 def _vcm_camera_band_sharded(scene, cam, frame, cache, grid, base_radius,
                              start_pixel, *, mesh, algo, width, height, spp,
                              max_len, light_path_count, num_connections,
                              num_knn, table_size, max_per_cell, has_masks,
-                             has_bump, max_steps, techniques, band_pixels):
+                             has_bump, max_steps, techniques, band_pixels,
+                             mat_kinds=None):
     """One sharded camera band: each device renders `band_pixels` pixels
     with the replicated merged cache; films concatenate along the mesh."""
     from ..render.integrators.pt import alpha_fn_for
@@ -272,6 +273,7 @@ def _vcm_camera_band_sharded(scene, cam, frame, cache, grid, base_radius,
             has_masks=has_masks, has_bump=has_bump, alpha_fn=alpha_fn,
             max_steps=max_steps, techniques=techniques,
             start_pixel=my_start, band_pixels=band_pixels,
+            mat_kinds=mat_kinds,
         )
 
     return jax.shard_map(
@@ -308,6 +310,8 @@ def render_vcm_frame_sharded(
     has_bump: bool = False,
     max_steps: int = 0,
     techniques=None,
+    merge_kernel: bool = None,
+    mat_kinds: tuple = None,
 ):
     """Multi-chip VCM-family frame (drop-in for
     integrators.vcm.render_vcm_frame; see the module comment for the
@@ -319,6 +323,8 @@ def render_vcm_frame_sharded(
     if techniques is None:
         techniques = TECHNIQUES
     assert algo in ALGOS
+    if merge_kernel is None:
+        merge_kernel = jax.default_backend() == "tpu"
     n_dev = mesh.devices.size
     frame = jnp.asarray(frame, jnp.uint32)
     base_radius = jnp.asarray(base_radius, jnp.float32)
@@ -373,6 +379,7 @@ def render_vcm_frame_sharded(
                 cache, frame, base_radius, table_size=table_size,
                 cache_capacity=cache_capacity,
                 light_path_count=light_path_count, algo=algo,
+                use_kernel=merge_kernel,
             )
 
     if algo != "lt":
@@ -394,7 +401,7 @@ def render_vcm_frame_sharded(
                 num_connections=num_connections, num_knn=num_knn,
                 table_size=table_size, max_per_cell=max_per_cell,
                 has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
-                techniques=techniques, band_pixels=bp,
+                techniques=techniques, band_pixels=bp, mat_kinds=mat_kinds,
             ))
             start += bp * n_dev
         if start < num_pixels:
@@ -408,7 +415,7 @@ def render_vcm_frame_sharded(
                 table_size=table_size, max_per_cell=max_per_cell,
                 has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
                 techniques=techniques, start_pixel=jnp.int32(start),
-                band_pixels=num_pixels - start,
+                band_pixels=num_pixels - start, mat_kinds=mat_kinds,
             ))
         cam_film = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         film = film + cam_film

@@ -340,7 +340,8 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                  mis_eta_vc, mis_eta_vm, *, algo, width, height, spp, max_len,
                  light_path_count, num_connections, num_knn, table_size,
                  max_per_cell, has_masks, has_bump, alpha_fn, max_steps=0,
-                 techniques=TECHNIQUES, start_pixel=0, band_pixels=0):
+                 techniques=TECHNIQUES, start_pixel=0, band_pixels=0,
+                 mat_kinds=None):
     num_pixels = band_pixels if band_pixels > 0 else width * height
     num_lights = scene.lights.kind.shape[0]
     # Wide-record view of the vertex cache: one gather per vertex access.
@@ -486,6 +487,7 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                 scene, cache, cache_rec, grid, isect, c["throughput"], d_vcm, d_vm,
                 active & non_spec, radiance, mis_eta_vc, pm_radius,
                 light_path_count, num_knn, table_size, max_per_cell, algo,
+                mat_kinds=mat_kinds,
             )
 
         # --- bounce ------------------------------------------------------
@@ -618,19 +620,35 @@ def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
 def _vertex_merging(scene, cache: LightVertexCache, cache_rec, grid, isect,
                     throughput, d_vcm, d_vm, active, radiance, mis_eta_vc,
                     pm_radius, light_path_count, num_knn, table_size,
-                    max_per_cell, algo):
+                    max_per_cell, algo, mat_kinds=None):
     """Fixed-radius photon gather + Epanechnikov kernel (vcm.cpp:571-611).
 
-    The reference walks every photon within pm_radius
-    (rangesearch.h:90-129); here each of the 8 neighbour cells
-    contributes up to `max_per_cell` candidates via ONE windowed gather
-    of the payload-carrying grid record (hashgrid.cell_windows) and all
-    in-radius candidates accumulate directly — no top-k sorts.  (An
-    earlier kNN formulation spent 7.6 of a 9.2 s frame in per-row
-    (R, k+W) sorts — measured, scripts/profile_vcm.py.)  The per-cell
-    cap is the TPU's stand-in for the reference's unbounded walk; it
-    drops photons only in cells holding more than max_per_cell."""
+    Two routes, chosen by the grid type (decided in render_vcm_frame):
+
+    * `pallas_merge.MergeGrid` (TPU): the sort-merge-join Pallas kernel
+      (ops/pallas_merge.py) — the EXACT unbounded walk of the reference
+      (rangesearch.h:90-129), no per-query gathers, no window cap.
+    * `hashgrid.HashGrid` (CPU / fallback): each of the 8 neighbour
+      cells contributes up to `max_per_cell` candidates via ONE windowed
+      gather of the payload-carrying grid record (hashgrid.cell_windows)
+      and all in-radius candidates accumulate directly — no top-k sorts.
+      (An earlier kNN formulation spent 7.6 of a 9.2 s frame in per-row
+      (R, k+W) sorts — measured, scripts/profile_vcm.py.)  The per-cell
+      cap is this route's stand-in for the unbounded walk; it drops
+      photons only in cells holding more than max_per_cell."""
+    from ...ops import pallas_merge
+
     radius_sqr = jnp.maximum(pm_radius * pm_radius, 1e-20)
+    if isinstance(grid, pallas_merge.MergeGrid):
+        kinds = mat_kinds if mat_kinds is not None else (0, 3, 4, 5)
+        contrib = pallas_merge.merge_contrib(
+            grid, isect.pos, isect.normal, isect.gn, isect.w_out,
+            isect.params, d_vcm, d_vm, active, mis_eta_vc,
+            kinds=kinds, ppm=(algo == "ppm"))
+        norm = 2.0 / (PI * radius_sqr * light_path_count)
+        return radiance + jnp.where(
+            active[..., None], throughput * contrib * norm[..., None], 0.0
+        )
 
     contrib = jnp.zeros_like(throughput)
     for rec, d2, ok_w, cscale in hashgrid_mod.cell_windows(grid, isect.pos,
@@ -704,11 +722,19 @@ def _vcm_light_band(scene, cam, frame, base_radius, path_start, cache_in, *,
     )
 
 
-@partial(jax.jit, static_argnames=("table_size", "cache_capacity", "light_path_count", "algo"))
+@partial(jax.jit, static_argnames=("table_size", "cache_capacity",
+                                   "light_path_count", "algo", "use_kernel"))
 def _vcm_build_grid(cache, frame, base_radius, *, table_size, cache_capacity,
-                    light_path_count, algo):
+                    light_path_count, algo, use_kernel=False):
     pm_radius, _, _ = _mis_constants(frame, base_radius, light_path_count, algo)
     valid = jnp.arange(cache_capacity) < cache.count
+    if use_kernel:
+        # Sorted linear-key photon tiles for the Pallas merge kernel
+        # (ops/pallas_merge.py) — the TPU route.
+        from ...ops.pallas_merge import build_merge_grid
+
+        return build_merge_grid(cache.pos, valid, pm_radius, cache.w_out,
+                                cache.throughput, cache.d_vcm, cache.d_vm)
     # Payload-carrying grid record (hashgrid.build_hash_grid): the
     # merge loop reads everything from the ONE windowed gather.
     payload = jnp.concatenate(
@@ -722,13 +748,13 @@ def _vcm_build_grid(cache, frame, base_radius, *, table_size, cache_capacity,
 @partial(jax.jit, static_argnames=(
     "algo", "width", "height", "spp", "max_len", "light_path_count",
     "num_connections", "num_knn", "table_size", "max_per_cell", "has_masks",
-    "has_bump", "max_steps", "techniques", "band_pixels",
+    "has_bump", "max_steps", "techniques", "band_pixels", "mat_kinds",
 ))
 def _vcm_camera_band(scene, cam, frame, cache, grid, base_radius, *, algo,
                      width, height, spp, max_len, light_path_count,
                      num_connections, num_knn, table_size, max_per_cell,
                      has_masks, has_bump, max_steps, techniques,
-                     start_pixel, band_pixels):
+                     start_pixel, band_pixels, mat_kinds=None):
     pm_radius, mis_eta_vc, mis_eta_vm = _mis_constants(
         frame, base_radius, light_path_count, algo
     )
@@ -742,6 +768,7 @@ def _vcm_camera_band(scene, cam, frame, cache, grid, base_radius, *, algo,
         has_masks=has_masks, has_bump=has_bump, alpha_fn=alpha_fn,
         max_steps=max_steps, techniques=techniques,
         start_pixel=start_pixel, band_pixels=band_pixels,
+        mat_kinds=mat_kinds,
     )
 
 
@@ -773,14 +800,23 @@ def render_vcm_frame(
     has_bump: bool = False,
     max_steps: int = 0,
     techniques: tuple = TECHNIQUES,
+    merge_kernel: bool = None,
+    mat_kinds: tuple = None,
 ):
     """One progressive VCM-family frame; returns the un-normalised film.
 
     Contributions are normalised exactly as the reference: everything is
     divided by frames*spp at display time; the light pass itself divides by
     light_path_count, so light_path_count can differ from the pixel count.
-    """
+
+    `merge_kernel`: route vertex merging through the Pallas sort-merge
+    kernel (ops/pallas_merge.py, exact unbounded walk) instead of the
+    XLA windowed gather; default = on for the TPU backend.  `mat_kinds`:
+    static tuple of material kinds present in the scene (engine.py
+    derives it) — absent kinds compile out of the merge kernel."""
     assert algo in ALGOS
+    if merge_kernel is None:
+        merge_kernel = jax.default_backend() == "tpu"
     frame = jnp.asarray(frame, jnp.uint32)
     base_radius = jnp.asarray(base_radius, jnp.float32)
     num_pixels = width * height
@@ -818,6 +854,7 @@ def render_vcm_frame(
                 cache, frame, base_radius, table_size=table_size,
                 cache_capacity=cache_capacity,
                 light_path_count=light_path_count, algo=algo,
+                use_kernel=merge_kernel,
             )
 
     if algo != "lt":
@@ -833,7 +870,7 @@ def render_vcm_frame(
                 table_size=table_size, max_per_cell=max_per_cell,
                 has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
                 techniques=techniques, start_pixel=jnp.int32(start),
-                band_pixels=bp,
+                band_pixels=bp, mat_kinds=mat_kinds,
             ))
         film = film + (parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0))
 

@@ -299,8 +299,11 @@ def _scene_lights(desc: SceneDesc):
 
 
 def build_scene(scene_path: str, quiet: bool = False,
-                spatial: bool = False):
-    """Load + build everything. Returns (DeviceScene, SceneMeta)."""
+                spatial: bool = False, force_flatten: bool = False):
+    """Load + build everything. Returns (DeviceScene, SceneMeta).
+
+    `force_flatten`: skip two-level instancing even when eligible
+    (self-check tooling renders both routes and compares images)."""
     t_start = time.time()
     desc = parse_scene_file(scene_path)
 
@@ -359,7 +362,8 @@ def build_scene(scene_path: str, quiet: bool = False,
     unique_tris = sum(len(m.tris) for m in meshes)
     import jax as _jax
 
-    if (_jax.default_backend() == "tpu" and len(desc.instances) > 1
+    if (not force_flatten and _jax.default_backend() == "tpu"
+            and len(desc.instances) > 1
             and num_tris > 1024 and num_tris >= 2 * unique_tris):
         face_base = 0
         inst_list = []

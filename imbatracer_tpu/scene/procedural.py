@@ -217,6 +217,87 @@ def make_masked_scene():
     return scene, meta
 
 
+def make_bumped_scene():
+    """Cornell-like box whose floor carries a bump texture: a linear
+    height ramp along u (so the central-difference slope is the exact
+    constant `vscale`, materials.h:37-54 / render/surface._bump_normal).
+    Floor UVs: u = (x+1)/2, v = (z+1)/2."""
+    tris = []
+    white = 0
+
+    def add(quads, mat):
+        for t in quads:
+            tris.append((*t, mat))
+
+    floor = _quad((-1, 0, 1), (1, 0, 1), (1, 0, -1), (-1, 0, -1))
+    add(floor, 4)                                                           # bumped floor
+    add(_quad((-1, 2, -1), (1, 2, -1), (1, 2, 1), (-1, 2, 1)), white)       # ceiling
+    add(_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), white)     # back
+    add(_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), 1)         # left
+    add(_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), 2)             # right
+    add(_quad((-0.3, 1.99, -0.3), (0.3, 1.99, -0.3), (0.3, 1.99, 0.3),
+              (-0.3, 1.99, 0.3)), 3)                                        # light
+
+    v0 = np.asarray([t[0] for t in tris], np.float32)
+    v1 = np.asarray([t[1] for t in tris], np.float32)
+    v2 = np.asarray([t[2] for t in tris], np.float32)
+    mat_id = np.asarray([t[3] for t in tris], np.int32)
+    n = np.cross(v1 - v0, v2 - v0)
+    gn = (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True),
+                         1e-20)).astype(np.float32)
+
+    F = len(tris)
+    uv0 = np.zeros((F, 2), np.float32)
+    uv1 = np.zeros((F, 2), np.float32)
+    uv2 = np.zeros((F, 2), np.float32)
+    for k, (a, b, c) in enumerate(floor):
+        for uv, p in ((uv0, a), (uv1, b), (uv2, c)):
+            uv[k] = ((p[0] + 1.0) / 2.0, (p[2] + 1.0) / 2.0)
+
+    attrs = dict(
+        n0=gn, n1=gn, n2=gn, uv0=uv0, uv1=uv1, uv2=uv2,
+        mat_id=mat_id, light_id=np.full(F, -1, np.int32),
+        inst_id=np.zeros(F, np.int32), local_id=np.arange(F, dtype=np.int32),
+    )
+    emit_intensity = (18.0, 14.0, 9.0)
+    base = dict(ks=(0, 0, 0), tf=(0, 0, 0), ns=1.0, ior=1.0,
+                emit=(0, 0, 0), kd_tex=-1, bump_tex=-1, mask_tex=-1)
+    mat_rows = [
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.76, 0.75, 0.5)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.63, 0.06, 0.04)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.15, 0.48, 0.09)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.78, 0.78, 0.78),
+             emit=emit_intensity),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.7, 0.7, 0.7), bump_tex=0),
+    ]
+    light_rows = []
+    for ti in np.nonzero(mat_id == 3)[0]:
+        nn = np.cross(v1[ti] - v0[ti], v2[ti] - v0[ti])
+        area = 0.5 * np.linalg.norm(nn)
+        attrs["light_id"][ti] = len(light_rows)
+        light_rows.append(
+            dict(kind=light_mod.LIGHT_TRI, p0=v0[ti], p1=v1[ti], p2=v2[ti],
+                 normal=nn / (2 * area), intensity=emit_intensity, area=area)
+        )
+    # Bump height: linear ramp along x (u), constant along y — bilinear
+    # sampling of a linear ramp is exact, so ds/du == 1 everywhere away
+    # from the wrap seam.
+    w = 64
+    ramp = np.broadcast_to(
+        (np.arange(w, dtype=np.float32) / (w - 1))[None, :, None], (4, w, 3)
+    ).copy()
+    scene = assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows,
+                                  [ramp], None)
+    meta = SceneMeta(
+        name="procedural_bumped",
+        num_tris=F, num_materials=len(mat_rows), num_lights=len(light_rows),
+        num_textures=1, has_env=False, has_masks=False, has_bump=True,
+        cam_pos=(0.0, 1.0, 3.6), cam_dir=(0.0, 0.0, -1.0),
+        cam_up=(0.0, 1.0, 0.0), bvh_stats=scene.bvh_stats,
+    )
+    return scene, meta
+
+
 def make_big_scene(num_boxes: int = 4000, seed: int = 0):
     """A large procedural scene (~50k triangles at the default) for
     big-BVH traversal testing and perf work: a field of rotated boxes in
@@ -278,6 +359,100 @@ def make_big_scene(num_boxes: int = 4000, seed: int = 0):
         num_tris=F, num_materials=len(mat_rows), num_lights=len(light_rows),
         num_textures=0, has_env=False, has_masks=False,
         cam_pos=(0.0, 14.0, 55.0), cam_dir=(0.0, -0.2, -1.0),
+        cam_up=(0.0, 1.0, 0.0), bvh_stats=scene.bvh_stats,
+    )
+    return scene, meta
+
+
+def make_leaf_scene(num_leaves: int = 6000, seed: int = 0):
+    """A big alpha-masked workload: a canopy of `num_leaves` textured
+    leaf cards (2 tris each, ~12k masked triangles at the default) over
+    a ground plane, one area light above the canopy.
+
+    Stands in for the reference's flagship masked scene (the sponza
+    curtain, test/scenes/sponza/sponza.scene — its textures ship but the
+    OBJ does not).  Each card's mask is a disc: transparent outside,
+    opaque inside, so roughly (1 - pi/4) of card-crossing rays must pass
+    through (core/mask.h semantics on the stream path's re-trace /
+    any-hit mask rounds)."""
+    rs = np.random.RandomState(seed)
+    tris = []
+    ground, leaf, lightm = 0, 1, 2
+    S = 20.0
+
+    def add(quads, mat):
+        for t in quads:
+            tris.append((*t, mat))
+
+    add(_quad((-S, 0, S), (S, 0, S), (S, 0, -S), (-S, 0, -S)), ground)
+    add(_quad((-4, 19.9, -4), (4, 19.9, -4), (4, 19.9, 4), (-4, 19.9, 4)),
+        lightm)
+
+    uvs = []
+    uvs += [((0, 0), (1, 0), (1, 1)), ((0, 0), (1, 1), (0, 1))] * 2  # pad
+    for _ in range(num_leaves):
+        c = np.array([rs.uniform(-S, S), rs.uniform(2.0, 12.0),
+                      rs.uniform(-S, S)])
+        # random card orientation
+        a, b = rs.randn(3), rs.randn(3)
+        a /= np.linalg.norm(a)
+        b -= a * np.dot(a, b)
+        b /= np.linalg.norm(b)
+        h = rs.uniform(0.3, 0.9)
+        p00, p10 = c - a * h - b * h, c + a * h - b * h
+        p11, p01 = c + a * h + b * h, c - a * h + b * h
+        add(_quad(tuple(p00), tuple(p10), tuple(p11), tuple(p01)), leaf)
+        uvs += [((0, 0), (1, 0), (1, 1)), ((0, 0), (1, 1), (0, 1))]
+
+    v0 = np.asarray([t[0] for t in tris], np.float32)
+    v1 = np.asarray([t[1] for t in tris], np.float32)
+    v2 = np.asarray([t[2] for t in tris], np.float32)
+    mat_id = np.asarray([t[3] for t in tris], np.int32)
+    n = np.cross(v1 - v0, v2 - v0)
+    gn = (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True),
+                         1e-20)).astype(np.float32)
+
+    F = len(tris)
+    uv_arr = np.asarray(uvs[:F], np.float32)        # (F, 3, 2)
+    attrs = dict(
+        n0=gn, n1=gn, n2=gn,
+        uv0=uv_arr[:, 0], uv1=uv_arr[:, 1], uv2=uv_arr[:, 2],
+        mat_id=mat_id, light_id=np.full(F, -1, np.int32),
+        inst_id=np.zeros(F, np.int32), local_id=np.arange(F, dtype=np.int32),
+    )
+    emit_intensity = (300.0, 280.0, 250.0)
+    base = dict(ks=(0, 0, 0), tf=(0, 0, 0), ns=1.0, ior=1.0,
+                emit=(0, 0, 0), kd_tex=-1, bump_tex=-1, mask_tex=-1)
+    mat_rows = [
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.5, 0.45, 0.35)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.15, 0.45, 0.1),
+             mask_tex=0),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.8, 0.8, 0.8),
+             emit=emit_intensity),
+    ]
+    light_rows = []
+    for ti in np.nonzero(mat_id == lightm)[0]:
+        nn = np.cross(v1[ti] - v0[ti], v2[ti] - v0[ti])
+        area = 0.5 * np.linalg.norm(nn)
+        attrs["light_id"][ti] = len(light_rows)
+        light_rows.append(
+            dict(kind=light_mod.LIGHT_TRI, p0=v0[ti], p1=v1[ti], p2=v2[ti],
+                 normal=nn / (2 * area), intensity=emit_intensity, area=area)
+        )
+    # Disc mask: opaque (white) inside radius 0.5 of the card centre.
+    m = 64
+    yy, xx = np.mgrid[0:m, 0:m]
+    disc = (((xx + 0.5) / m - 0.5) ** 2 + ((yy + 0.5) / m - 0.5) ** 2
+            <= 0.25)
+    mask_img = np.where(disc[..., None], 1.0, 0.0).astype(np.float32)
+    mask_img = np.broadcast_to(mask_img, (m, m, 3)).copy()
+    scene = assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows,
+                                  [mask_img], None)
+    meta = SceneMeta(
+        name=f"procedural_leaves_{num_leaves}",
+        num_tris=F, num_materials=len(mat_rows), num_lights=len(light_rows),
+        num_textures=1, has_env=False, has_masks=True,
+        cam_pos=(0.0, 6.0, 28.0), cam_dir=(0.0, -0.1, -1.0),
         cam_up=(0.0, 1.0, 0.0), bvh_stats=scene.bvh_stats,
     )
     return scene, meta

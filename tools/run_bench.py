@@ -134,6 +134,51 @@ def run_one(name, scene_path, golden, algo, width, height, extra, seconds,
     return row
 
 
+def run_instances_selfcheck(seconds=30.0, size=512):
+    """Golden-free image check for two-level instancing: render
+    cornell_instances through the instanced route (stream2) AND through
+    forced flattening, same frame count + RNG, and report their PSNR.
+    (VERDICT round-2 item 6c: instancing correctness at image level —
+    tests/test_instancing.py proves hit identity; this proves it end to
+    end through shading.)"""
+    import jax
+    import numpy as np
+
+    from imbatracer_tpu.frontend.engine import make_frame_fn
+    from imbatracer_tpu.frontend.renderer import (ProgressiveRenderer,
+                                                  RenderSettings)
+    from imbatracer_tpu.scene.build import build_scene
+    from imbatracer_tpu.utils.metrics import psnr
+
+    imgs = []
+    frames = 0
+    for force_flatten in (False, True):
+        scene, meta = build_scene(
+            f"{SCENES}/cornell/cornell_instances.scene",
+            force_flatten=force_flatten)
+        settings = RenderSettings(width=size, height=size, algorithm="pt")
+        frame_fn, _ = make_frame_fn(scene, meta, settings)
+        r = ProgressiveRenderer(frame_fn, settings)
+        r.step()
+        jax.block_until_ready(r.accum)
+        t0 = time.time()
+        if not imgs:
+            while time.time() - t0 < seconds:
+                r.step()
+                jax.block_until_ready(r.accum)
+            frames = r.frames
+        else:
+            while r.frames < frames:
+                r.step()
+            jax.block_until_ready(r.accum)
+        imgs.append(np.asarray(r.image()))
+    p = psnr(imgs[0], imgs[1])
+    return {"name": "instances_selfcheck", "algorithm": "pt",
+            "time": round(seconds, 1), "samples": frames,
+            "psnr": round(p, 2),
+            "gate": "PASS" if p >= 40.0 else "FAIL"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-t", "--time", type=float, default=30.0,
@@ -144,13 +189,26 @@ def main():
                     help="convergence-gate mode: required RMSE (e.g. 2.0); "
                          "the budget becomes a deadline and each run "
                          "PASSes/FAILs (reference run_bench.py:254-296)")
+    ap.add_argument("--gate-budgets", default="",
+                    help="per-algorithm gate deadlines overriding -t in "
+                         "converge mode, e.g. 'pt=60,bpt=180,vcm=300' "
+                         "(the reference gates pt/bpt/vcm each for 1 h, "
+                         "run_bench.py:254-296)")
     ap.add_argument("--curve-dir", default="",
                     help="write per-run RMSE-over-time CSV curves here")
     ap.add_argument("--curve-every", type=float, default=5.0,
                     help="curve sampling interval in seconds")
     ap.add_argument("--size", type=int, default=0,
                     help="override render size (golden checks then skip)")
+    ap.add_argument("--selfcheck-instances", action="store_true",
+                    help="run the instanced-vs-flattened image self-check")
     args = ap.parse_args()
+
+    gate_budgets = {}
+    if args.gate_budgets:
+        for part in args.gate_budgets.split(","):
+            k, v = part.split("=")
+            gate_budgets[k.strip()] = float(v)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     rows = []
@@ -166,9 +224,12 @@ def main():
             w = h = args.size
         curve_path = (os.path.join(args.curve_dir, f"curve_{name}.csv")
                       if args.curve_dir else "")
+        budget = args.time
+        if args.converge > 0 and algo in gate_budgets:
+            budget = gate_budgets[algo]
         try:
             row = run_one(name, scene_path, golden, algo, w, h, extra,
-                          seconds=args.time, converge_rmse=args.converge,
+                          seconds=budget, converge_rmse=args.converge,
                           curve_path=curve_path,
                           curve_every=args.curve_every)
         except Exception as e:  # device faults etc.: record and continue
@@ -179,6 +240,23 @@ def main():
         print(row, flush=True)
         rows.append(row)
         # Write incrementally so a later crash loses nothing.
+        keys = ["name", "algorithm", "time", "samples", "fps",
+                "ms_per_frame", "rmse", "psnr", "converged_at", "gate",
+                "error"]
+        with open(args.out, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+            w.writeheader()
+            w.writerows(rows)
+    if args.selfcheck_instances:
+        print("== instances_selfcheck ==", flush=True)
+        try:
+            row = run_instances_selfcheck(seconds=args.time,
+                                          size=args.size or 512)
+        except Exception as e:
+            row = {"name": "instances_selfcheck", "algorithm": "pt",
+                   "error": type(e).__name__}
+        print(row, flush=True)
+        rows.append(row)
         keys = ["name", "algorithm", "time", "samples", "fps",
                 "ms_per_frame", "rmse", "psnr", "converged_at", "gate",
                 "error"]
