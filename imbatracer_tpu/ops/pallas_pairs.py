@@ -76,11 +76,12 @@ def _safe_inv(x):
 
 
 def ray_candidates(rays8t, sbox, k_max=K_MAX):
-    """Top-k_max super-chunk candidates per RAY, front-to-back.
+    """Top-k super-chunk candidates per RAY, front-to-back,
+    k = min(k_max, num_superchunks) (small scenes get narrow queues).
 
-    Returns (idx (R, K) i32 — -1 past the ray's count, ent (R, K) f32
+    Returns (idx (R, k) i32 — -1 past the ray's count, ent (R, k) f32
     entry t (BIG where invalid), count (R,) i32 total intersected —
-    may exceed K; callers compare against K to detect saturation)."""
+    may exceed k; callers compare against k to detect saturation)."""
     num_s = sbox.shape[0]
     num_r = rays8t.shape[1]
     outs_i, outs_e, outs_c = [], [], []
@@ -107,10 +108,6 @@ def ray_candidates(rays8t, sbox, k_max=K_MAX):
         neg, idx = jax.lax.top_k(-ent_all, k)
         ent = -neg
         idx = jnp.where(ent < BIG, idx.astype(jnp.int32), -1)
-        if k < k_max:
-            pad = k_max - k
-            idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
-            ent = jnp.pad(ent, ((0, 0), (0, pad)), constant_values=BIG)
         outs_i.append(idx)
         outs_e.append(ent)
         outs_c.append(count)
@@ -357,18 +354,39 @@ def _resolve_closest(out, pair_ray, num_rp, k):
 
 def closest_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None,
                       inst=None, k_max=K_MAX):
+    """Closest hit via the sorted pair queue, EXACT for every ray.
+
+    Rays whose true candidate count exceeds the top-K cap ("saturated")
+    re-trace through the sorted block-stream kernel in one extra
+    dispatch — saturated lanes are typically rare, and the stream path
+    compacts dead lanes into zero-work blocks, so the fallback costs
+    ~fixed dispatch overhead.  Statically skipped when the scene has
+    <= k_max super-chunks (saturation impossible)."""
     from ..render.traverse import Hit
 
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
     num_rp = rays8t.shape[1]                  # padded to BLK
     rays8 = rays8t.T                          # (Rp, 8)
     num_s = sbox.shape[0]
-    idx, _ent, _count = ray_candidates(rays8t, sbox, k_max)
+    idx, _ent, count = ray_candidates(rays8t, sbox, k_max)
 
     rows, sc_col, pair_ray, bounds = build_queue(idx, rays8, num_s)
     out = _pairs_call(rows, sc_col, bounds, tiles, occl=False, inst=inst)
     t, pid, u, v = _resolve_closest(out, pair_ray, num_rp, idx.shape[1])
     t, pid, u, v = t[:num_r], pid[:num_r], u[:num_r], v[:num_r]
+
+    if num_s > k_max:
+        from .pallas_stream import closest_hit_sorted
+
+        sat = (count[:num_r] > idx.shape[1])
+        if active is not None:
+            sat = sat & active
+        h2 = closest_hit_sorted(sbox, tiles, org, d, tmin, tmax,
+                                active=sat, inst=inst)
+        t = jnp.where(sat, h2.t, t)
+        pid = jnp.where(sat, h2.prim_id, pid)
+        u = jnp.where(sat, h2.u, u)
+        v = jnp.where(sat, h2.v, v)
     return Hit(t=jnp.where(pid >= 0, t, BIG), prim_id=pid, u=u, v=v)
 
 
@@ -378,7 +396,7 @@ def any_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None, inst=None,
     num_rp = rays8t.shape[1]
     rays8 = rays8t.T
     num_s = sbox.shape[0]
-    idx, _ent, _count = ray_candidates(rays8t, sbox, k_max)
+    idx, _ent, count = ray_candidates(rays8t, sbox, k_max)
 
     rows, sc_col, pair_ray, bounds = build_queue(idx, rays8, num_s)
     out = _pairs_call(rows, sc_col, bounds, tiles, occl=True, inst=inst)
@@ -387,4 +405,17 @@ def any_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None, inst=None,
     occ = occk[:, 0]
     for c in range(1, idx.shape[1]):          # tiny-minor-axis reduce:
         occ = jnp.maximum(occ, occk[:, c])    # unrolled column max
-    return (occ > 0.0)[:num_r]
+    occ = occ > 0.0
+    occ = occ[:num_r]
+
+    if num_s > k_max:
+        from .pallas_stream import any_hit_sorted
+
+        # Saturated AND not already proven occluded within the K nearest.
+        sat = (count[:num_r] > idx.shape[1]) & ~occ
+        if active is not None:
+            sat = sat & active
+        occ2 = any_hit_sorted(sbox, tiles, org, d, tmin, tmax,
+                              active=sat, inst=inst)
+        occ = occ | (sat & occ2)
+    return occ

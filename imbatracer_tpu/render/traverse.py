@@ -182,15 +182,13 @@ DENSE_MAX_TRIS = 1024
 ALPHA_ROUNDS = 4
 
 # Route incoherent (sort=True) stream dispatches through the pair-stream
-# kernel (ops/pallas_pairs.py).  OFF by default: measured end-to-end the
-# pair queue's XLA machinery (top-k, pair sorts, scatter placement,
-# segment reductions — scatters lower near-serially on this chip)
-# currently outweighs its zero-divergence kernel win (24k-tri scene,
-# 262k rays: pairs 1.3-1.6 Mrays/s vs 11.7 tiled stream / 1.0 sorted
-# stream; the 48k-tri PT frame regressed 7.2 -> 12.6 s).  The kernel
-# side is sound — revisit when the queue build moves to sort-only
-# placement.
-USE_PAIRS = False
+# kernel (ops/pallas_pairs.py).  ON since round 3: the sort-only queue
+# (one lax.sort in, one out, no scatters/segment ops) measures 3.0
+# Mrays/s scattered at 24k tris vs 1.5 for the Morton-sorted stream
+# path (scripts/bench_stream.py); exactness for top-K-saturated rays is
+# restored by a compacted stream fallback dispatch inside
+# closest_hit_pairs / any_hit_pairs.
+USE_PAIRS = True
 
 
 def _inst(bvh):

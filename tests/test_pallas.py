@@ -9,7 +9,7 @@ import pytest
 from imbatracer_tpu.ops import pallas_intersect as pk
 from imbatracer_tpu.render.intersect import BIG
 from imbatracer_tpu.render.traverse import closest_hit, any_hit
-from imbatracer_tpu.scene.procedural import make_cornell_scene
+from imbatracer_tpu.scene.procedural import make_big_scene, make_cornell_scene
 
 
 def _interp(module, fn):
@@ -163,3 +163,70 @@ def test_pairs_kernel_matches_bvh():
             ps.pl.pallas_call = orig
 
     _interp2(run)
+
+
+def test_pairs_saturation_fallback_exact():
+    """Rays with more true candidates than the top-K cap must still be
+    EXACT: the compacted stream fallback re-traces them (round-3 pairs
+    routing is on by default, so this is a correctness gate)."""
+    import numpy as np
+    from imbatracer_tpu.ops import pallas_pairs as pp
+    from imbatracer_tpu.ops import pallas_stream as ps
+
+    def run():
+        sys_path_scene = make_big_scene(num_boxes=120, seed=4)[0]
+        bvh = sys_path_scene.bvh
+        sbox, tiles, center = ps.pack_stream_tiles(
+            np.asarray(bvh.tri_v0), np.asarray(bvh.tri_e1),
+            np.asarray(bvh.tri_e2), np.asarray(bvh.tri_id))
+        sboxj, tilesj = jnp.asarray(sbox), jnp.asarray(tiles)
+        assert sbox.shape[0] > 2, "fixture needs multiple super-chunks"
+
+        rs = np.random.RandomState(23)
+        n = 512
+        org = np.stack([rs.uniform(-30, 30, n), rs.uniform(1, 10, n),
+                        rs.uniform(-30, 30, n)], -1).astype(np.float32)
+        d = rs.randn(n, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        org, d = jnp.asarray(org), jnp.asarray(d)
+        org_c = org - jnp.asarray(center)[None, :]
+
+        # k_max=1 saturates most rays -> exercises the fallback heavily.
+        hp = pp.closest_hit_pairs(sboxj, tilesj, org_c, d, 0.0, BIG,
+                                  k_max=1)
+        hx = closest_hit(sys_path_scene.bvh, org, d, 0.0, BIG)
+        tp, tx = np.asarray(hp.t), np.asarray(hx.t)
+        pid_p, pid_x = np.asarray(hp.prim_id), np.asarray(hx.prim_id)
+        tie = (pid_p != pid_x) & (pid_p >= 0) & (pid_x >= 0) & (tp == tx)
+        agree = (pid_p == pid_x) | tie
+        assert agree.all(), np.where(~agree)[0][:10]
+
+        occ_p = pp.any_hit_pairs(sboxj, tilesj, org_c, d, 0.0,
+                                 jnp.full((n,), 8.0), k_max=1)
+        occ_x = any_hit(sys_path_scene.bvh, org, d, 0.0,
+                        jnp.full((n,), 8.0))
+        np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_x))
+
+    def _interp3(fn):
+        if jax.default_backend() != "cpu":
+            return fn()
+        import jax.experimental.pallas as pl
+        from imbatracer_tpu.ops import pallas_pairs as pp
+        from imbatracer_tpu.ops import pallas_stream as ps
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        pl.pallas_call = interp
+        pp.pl.pallas_call = interp
+        ps.pl.pallas_call = interp
+        try:
+            return fn()
+        finally:
+            pl.pallas_call = orig
+            pp.pl.pallas_call = orig
+            ps.pl.pallas_call = orig
+
+    _interp3(run)
