@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 def main():
     from imbatracer_tpu.frontend.renderer import RenderSettings, camera_for_scene
-    from imbatracer_tpu.render.integrators.pt import render_pt_frame
+    from imbatracer_tpu.render.integrators.pt import (render_pt_frame,
+                                                      render_pt_frame_regen)
 
     cornell = "/root/reference/test/scenes/cornell/cornell_org.scene"
     if os.path.exists(cornell):
@@ -40,8 +41,15 @@ def main():
     cam = camera_for_scene(meta, settings)
     max_steps = traversal_steps(meta)
 
+    # Regenerated wavefront on TPU (render_pt_frame_regen): dead lanes
+    # re-seeded from the path queue keep the megastep ~full while RR +
+    # emitter hits drain paths — the banded megastep pays max_len full
+    # bounces for a shrinking active set.
+    render = (render_pt_frame_regen if jax.default_backend() == "tpu"
+              else render_pt_frame)
+
     def frame(i):
-        return render_pt_frame(
+        return render(
             scene, cam, jnp.uint32(i), size, size,
             spp=1, max_len=settings.max_path_len,
             has_masks=meta.has_masks, with_stats=True, max_steps=max_steps,

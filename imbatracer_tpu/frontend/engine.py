@@ -109,6 +109,22 @@ def make_camera_frame_fn(scene, meta, settings: RenderSettings):
                 )
             return core, cam
 
+        # TPU single-chip: regenerated wavefront (dead lanes re-seeded
+        # from the path queue each bounce — the reference's
+        # RayQueue::compact role; ~identical estimator, fuller lanes).
+        if jax.default_backend() == "tpu":
+            from ..render.integrators.pt import render_pt_frame_regen
+
+            def core(frame, cam):
+                return render_pt_frame_regen(
+                    scene, cam, frame, settings.width, settings.height,
+                    spp=settings.spp, max_len=settings.max_path_len,
+                    has_masks=meta.has_masks,
+                    has_bump=getattr(meta, "has_bump", False),
+                    max_steps=max_steps,
+                )
+            return core, cam
+
         def core(frame, cam):
             return render_pt_frame(
                 scene, cam, frame, settings.width, settings.height,

@@ -81,7 +81,6 @@ def trace_paths(
     reference's schedulers report (tile_scheduler.h:59-61).
     """
     alpha_fn = alpha_fn_for(scene) if has_masks else None
-    num_lights = scene.lights.kind.shape[0]
 
     # Inits derived from inputs so they stay device-varying under shard_map.
     zeros1 = jnp.zeros_like(org[:, 0])
@@ -92,6 +91,7 @@ def trace_paths(
         throughput=jnp.ones_like(org),
         radiance=jnp.zeros_like(org),
         active=zeros1 < 1.0,
+        depth=jnp.zeros_like(org[:, 0], dtype=jnp.int32),
         last_pdf=zeros1 + 1.0,
         last_specular=zeros1 < 1.0,
         state=state,
@@ -99,119 +99,132 @@ def trace_paths(
     )
 
     def bounce_body(i, c):
-        hit = closest_hit(
-            scene.bvh, c["org"], c["d"], c["tmin"], BIG,
-            alpha_fn=alpha_fn, active=c["active"], max_steps=max_steps,
-            sort=True,
-        )
-        n_rays = c["n_rays"] + jnp.sum(c["active"].astype(jnp.int32))
-
-        # ---- environment misses (pt.cpp:95-116) ------------------------
-        miss = c["active"] & (hit.prim_id < 0)
-        radiance = c["radiance"]
-        if scene.env is not None:
-            li, pdf_direct_w, _ = envmap_mod.radiance(
-                scene.env, normalize(c["d"]), scene.bsphere.inv_radius_sqr
-            )
-            pdf_di = pdf_direct_w / num_lights
-            w = jnp.where(
-                (i == 0) | c["last_specular"],
-                1.0,
-                mis_power_heuristic(c["last_pdf"], pdf_di),
-            )
-            radiance = radiance + jnp.where(
-                miss[..., None], c["throughput"] * li * w[..., None], 0.0
-            )
-        active = c["active"] & ~miss
-
-        isect = make_interaction(scene, hit, c["org"], c["d"], has_bump=has_bump)
-
-        # ---- emitter hits (pt.cpp:133-151) -----------------------------
-        is_emitter = active & (isect.light_id >= 0)
-        cos_geom = dot(isect.gn, isect.w_out)
-        cos_shade = dot(isect.normal, isect.w_out)
-        emit_intensity = isect.emit
-        area = jnp.maximum(isect.area, 1e-12)
-        d_sqr = hit.t * hit.t
-        pdf_di_emit = (1.0 / area) / num_lights * d_sqr / jnp.where(
-            cos_shade <= 0.0, 1.0, cos_shade
-        )
-        w_emit = jnp.where(
-            (i == 0) | c["last_specular"],
-            1.0,
-            mis_power_heuristic(c["last_pdf"], pdf_di_emit),
-        )
-        emit_ok = is_emitter & (cos_geom > 0.0) & (cos_shade > 0.0)
-        radiance = radiance + jnp.where(
-            emit_ok[..., None], c["throughput"] * emit_intensity * w_emit[..., None], 0.0
-        )
-        active = active & ~is_emitter  # emitter hits terminate (pt.cpp:152)
-
-        # ---- next-event estimation (pt.cpp:17-44) ----------------------
-        st = c["state"]
-        st, (ul, ua, ub) = rng_mod.next_floats(st, 3)
-        light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
-        ds = light_mod.sample_direct(
-            scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
-        )
-        f_nee = mat_mod.eval_bsdf(
-            isect.params, isect.normal, isect.gn, isect.w_out, ds.dir
-        )
-        pdf_hit = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
-        pdf_lightpick = 1.0 / num_lights
-        pdf_di = pdf_lightpick * ds.pdf_direct_w
-        w_nee = jnp.where(ds.is_delta, 1.0, pdf_di / jnp.maximum(pdf_di + pdf_hit, 1e-20))
-        contrib = (
-            c["throughput"]
-            * f_nee
-            * ds.radiance
-            * (jnp.abs(dot(isect.normal, ds.dir)) * w_nee / pdf_lightpick)[..., None]
-        )
-        shadow_ok = (
-            active
-            & (pdf_hit > 0.0)
-            & (pdf_di > 0.0)
-            & jnp.any(contrib > 0.0, axis=-1)
-        )
-        offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
-        occluded = any_hit(
-            scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
-            alpha_fn=alpha_fn, active=shadow_ok, max_steps=max_steps,
-            sort=True,
-        )
-        radiance = radiance + jnp.where((shadow_ok & ~occluded)[..., None], contrib, 0.0)
-        n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
-
-        # ---- bounce (pt.cpp:46-80) -------------------------------------
-        st, (urr, u1, u2, u3) = rng_mod.next_floats(st, 4)
-        rr_pdf = russian_roulette_prob(c["throughput"])
-        survive = urr < rr_pdf
-        wi, f, pdf, spec, valid = mat_mod.sample_bsdf(
-            isect.params, isect.normal, isect.gn, isect.w_out, u1, u2, u3
-        )
-        cos_term = jnp.abs(dot(isect.normal, wi))
-        new_throughput = (
-            c["throughput"] * f * (cos_term / jnp.maximum(pdf * rr_pdf, 1e-20))[..., None]
-        )
-        active = active & survive & valid & (i + 1 < max_len)
-
-        return dict(
-            org=jnp.where(active[..., None], isect.pos, c["org"]),
-            d=jnp.where(active[..., None], wi, c["d"]),
-            tmin=jnp.where(active, 1e-3 * hit.t, c["tmin"]),
-            throughput=jnp.where(active[..., None], new_throughput, c["throughput"]),
-            radiance=radiance,
-            active=active,
-            last_pdf=jnp.where(active, pdf, c["last_pdf"]),
-            last_specular=jnp.where(active, spec, c["last_specular"]),
-            state=st,
-            n_rays=n_rays,
-        )
+        return _pt_bounce(scene, c, alpha_fn=alpha_fn, has_bump=has_bump,
+                          max_len=max_len, max_steps=max_steps)
 
     out = jax.lax.fori_loop(0, max_len, bounce_body, carry)
     if with_stats:
         return out["radiance"], out["n_rays"]
     return out["radiance"]
+
+
+def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps):
+    """One PT bounce for every lane of the carry (trace + env/emitter MIS
+    + NEE + BSDF extension).  Per-lane `depth` replaces the loop index so
+    the same body drives both the plain megastep (all lanes in lockstep)
+    and the regenerated wavefront (lanes at mixed depths,
+    render_pt_frame_regen)."""
+    num_lights = scene.lights.kind.shape[0]
+    first = c["depth"] == 0
+    hit = closest_hit(
+        scene.bvh, c["org"], c["d"], c["tmin"], BIG,
+        alpha_fn=alpha_fn, active=c["active"], max_steps=max_steps,
+        sort=True,
+    )
+    n_rays = c["n_rays"] + jnp.sum(c["active"].astype(jnp.int32))
+
+    # ---- environment misses (pt.cpp:95-116) ------------------------
+    miss = c["active"] & (hit.prim_id < 0)
+    radiance = c["radiance"]
+    if scene.env is not None:
+        li, pdf_direct_w, _ = envmap_mod.radiance(
+            scene.env, normalize(c["d"]), scene.bsphere.inv_radius_sqr
+        )
+        pdf_di = pdf_direct_w / num_lights
+        w = jnp.where(
+            first | c["last_specular"],
+            1.0,
+            mis_power_heuristic(c["last_pdf"], pdf_di),
+        )
+        radiance = radiance + jnp.where(
+            miss[..., None], c["throughput"] * li * w[..., None], 0.0
+        )
+    active = c["active"] & ~miss
+
+    isect = make_interaction(scene, hit, c["org"], c["d"], has_bump=has_bump)
+
+    # ---- emitter hits (pt.cpp:133-151) -----------------------------
+    is_emitter = active & (isect.light_id >= 0)
+    cos_geom = dot(isect.gn, isect.w_out)
+    cos_shade = dot(isect.normal, isect.w_out)
+    emit_intensity = isect.emit
+    area = jnp.maximum(isect.area, 1e-12)
+    d_sqr = hit.t * hit.t
+    pdf_di_emit = (1.0 / area) / num_lights * d_sqr / jnp.where(
+        cos_shade <= 0.0, 1.0, cos_shade
+    )
+    w_emit = jnp.where(
+        first | c["last_specular"],
+        1.0,
+        mis_power_heuristic(c["last_pdf"], pdf_di_emit),
+    )
+    emit_ok = is_emitter & (cos_geom > 0.0) & (cos_shade > 0.0)
+    radiance = radiance + jnp.where(
+        emit_ok[..., None], c["throughput"] * emit_intensity * w_emit[..., None], 0.0
+    )
+    active = active & ~is_emitter  # emitter hits terminate (pt.cpp:152)
+
+    # ---- next-event estimation (pt.cpp:17-44) ----------------------
+    st = c["state"]
+    st, (ul, ua, ub) = rng_mod.next_floats(st, 3)
+    light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
+    ds = light_mod.sample_direct(
+        scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
+    )
+    f_nee = mat_mod.eval_bsdf(
+        isect.params, isect.normal, isect.gn, isect.w_out, ds.dir
+    )
+    pdf_hit = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
+    pdf_lightpick = 1.0 / num_lights
+    pdf_di = pdf_lightpick * ds.pdf_direct_w
+    w_nee = jnp.where(ds.is_delta, 1.0, pdf_di / jnp.maximum(pdf_di + pdf_hit, 1e-20))
+    contrib = (
+        c["throughput"]
+        * f_nee
+        * ds.radiance
+        * (jnp.abs(dot(isect.normal, ds.dir)) * w_nee / pdf_lightpick)[..., None]
+    )
+    shadow_ok = (
+        active
+        & (pdf_hit > 0.0)
+        & (pdf_di > 0.0)
+        & jnp.any(contrib > 0.0, axis=-1)
+    )
+    offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
+    occluded = any_hit(
+        scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
+        alpha_fn=alpha_fn, active=shadow_ok, max_steps=max_steps,
+        sort=True,
+    )
+    radiance = radiance + jnp.where((shadow_ok & ~occluded)[..., None], contrib, 0.0)
+    n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
+
+    # ---- bounce (pt.cpp:46-80) -------------------------------------
+    st, (urr, u1, u2, u3) = rng_mod.next_floats(st, 4)
+    rr_pdf = russian_roulette_prob(c["throughput"])
+    survive = urr < rr_pdf
+    wi, f, pdf, spec, valid = mat_mod.sample_bsdf(
+        isect.params, isect.normal, isect.gn, isect.w_out, u1, u2, u3
+    )
+    cos_term = jnp.abs(dot(isect.normal, wi))
+    new_throughput = (
+        c["throughput"] * f * (cos_term / jnp.maximum(pdf * rr_pdf, 1e-20))[..., None]
+    )
+    active = active & survive & valid & (c["depth"] + 1 < max_len)
+
+    return dict(
+        org=jnp.where(active[..., None], isect.pos, c["org"]),
+        d=jnp.where(active[..., None], wi, c["d"]),
+        tmin=jnp.where(active, 1e-3 * hit.t, c["tmin"]),
+        throughput=jnp.where(active[..., None], new_throughput, c["throughput"]),
+        radiance=radiance,
+        active=active,
+        depth=jnp.where(active, c["depth"] + 1, c["depth"]),
+        last_pdf=jnp.where(active, pdf, c["last_pdf"]),
+        last_specular=jnp.where(active, spec, c["last_specular"]),
+        state=st,
+        n_rays=n_rays,
+    )
 
 
 def _tile_perm(num_pixels: int, width: int, tw: int = 32, th: int = 16):
@@ -298,6 +311,140 @@ def _pt_band(
 # Rays-per-dispatch cap (same rationale as vcm.BAND_RAYS: monolithic
 # million-ray frame graphs over large BVHs exhaust device memory).
 BAND_RAYS = 1 << 18
+
+# Regenerated-wavefront tuning: assumed mean path length (steps per
+# megastep launch = ceil(total_paths * REGEN_EST_BOUNCES / lanes)); only
+# affects how often the host checks for completion, never correctness.
+REGEN_EST_BOUNCES = 4
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_len", "has_masks",
+                     "has_bump", "max_steps", "steps", "num_paths"),
+)
+def _pt_regen_megastep(scene, cam, frame, c, *, width, height, spp, max_len,
+                       has_masks, has_bump, max_steps, steps, num_paths):
+    """`steps` regeneration+bounce iterations over a fixed lane pool.
+
+    The reference reclaims dead queue slots with RayQueue::compact +
+    regeneration from the tile generator (ray_queue.h:145-221,
+    tile_scheduler.h); here dead lanes are re-seeded in place from a
+    global path counter, so the wavefront stays ~full while Russian
+    roulette and emitter hits drain paths at mixed depths.  Per-path
+    math (RNG keyed by pixel/sample/frame) is identical to the banded
+    renderer; only film summation order differs."""
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+    num_pixels = width * height
+    lanes = c["org"].shape[0]
+    perm, _ = _tile_perm(num_pixels, width)
+    perm_arr = (jnp.asarray(perm) if perm is not None
+                else jnp.arange(num_pixels, dtype=jnp.int32))
+
+    def step_body(s, c):
+        # ---- flush + regenerate dead lanes ---------------------------
+        dead = ~c["active"]
+        flush = dead & (c["lane_pixel"] >= 0)
+        film = c["film"].at[
+            jnp.where(flush, c["lane_pixel"], num_pixels)
+        ].add(jnp.where(flush[:, None], c["radiance"], 0.0), mode="drop")
+
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        new_id = c["next_id"] + rank
+        start = dead & (new_id < num_paths)
+        nid = jnp.where(start, new_id, 0)
+        sid = (nid // num_pixels).astype(jnp.uint32)
+        pid = perm_arr[nid % num_pixels]
+        rst = rng_mod.seed(pid, sid, frame)
+        rst, (jx, jy) = rng_mod.next_floats(rst, 2)
+        px = (pid % width).astype(jnp.float32) + jx
+        py = (pid // width).astype(jnp.float32) + jy
+        org0, d0 = generate_ray(cam, px, py)
+
+        start3 = start[:, None]
+        cc = dict(
+            org=jnp.where(start3, org0, c["org"]),
+            d=jnp.where(start3, d0, c["d"]),
+            tmin=jnp.where(start, 0.0, c["tmin"]),
+            throughput=jnp.where(start3, 1.0, c["throughput"]),
+            radiance=jnp.where((flush | start)[:, None], 0.0, c["radiance"]),
+            active=c["active"] | start,
+            depth=jnp.where(start, 0, c["depth"]),
+            last_pdf=jnp.where(start, 1.0, c["last_pdf"]),
+            last_specular=jnp.where(start, True, c["last_specular"]),
+            state=jnp.where(start, rst, c["state"]),
+            n_rays=c["n_rays"],
+        )
+        out = _pt_bounce(scene, cc, alpha_fn=alpha_fn, has_bump=has_bump,
+                         max_len=max_len, max_steps=max_steps)
+        out["film"] = film
+        out["lane_pixel"] = jnp.where(
+            start, pid, jnp.where(flush, -1, c["lane_pixel"]))
+        out["next_id"] = c["next_id"] + jnp.sum(start.astype(jnp.int32))
+        return out
+
+    return jax.lax.fori_loop(0, steps, step_body, c)
+
+
+def render_pt_frame_regen(
+    scene,
+    cam: Camera,
+    frame: jnp.ndarray,
+    width: int,
+    height: int,
+    spp: int = 1,
+    max_len: int = 10,
+    has_masks: bool = False,
+    has_bump: bool = False,
+    with_stats: bool = False,
+    max_steps: int = 0,
+):
+    """render_pt_frame with lane regeneration (see _pt_regen_megastep).
+
+    Identical estimator (per-path RNG/contributions match the banded
+    renderer exactly); the film differs only by float summation order.
+    Host loop: launch megasteps until the path queue is exhausted and
+    every lane is dead (one device sync per launch)."""
+    frame = jnp.asarray(frame, jnp.uint32)
+    num_pixels = width * height
+    num_paths = num_pixels * spp
+    lanes = min(BAND_RAYS, max(num_paths, 1))
+
+    z1 = jnp.zeros((lanes,), jnp.float32)
+    z3 = jnp.zeros((lanes, 3), jnp.float32)
+    c = dict(
+        org=z3, d=z3.at[:, 2].set(1.0), tmin=z1,
+        throughput=z3, radiance=z3,
+        active=jnp.zeros((lanes,), bool),
+        depth=jnp.zeros((lanes,), jnp.int32),
+        last_pdf=z1, last_specular=jnp.zeros((lanes,), bool),
+        state=rng_mod.seed(jnp.zeros((lanes,), jnp.int32), 0, frame),
+        n_rays=jnp.zeros((), jnp.int32),
+        film=jnp.zeros((num_pixels, 3), jnp.float32),
+        lane_pixel=jnp.full((lanes,), -1, jnp.int32),
+        next_id=jnp.zeros((), jnp.int32),
+    )
+
+    steps0 = max(max_len, -(-num_paths * REGEN_EST_BOUNCES // lanes))
+    steps = steps0
+    kw = dict(width=width, height=height, spp=spp, max_len=max_len,
+              has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
+              num_paths=num_paths)
+    while True:
+        c = _pt_regen_megastep(scene, cam, frame, c, steps=steps, **kw)
+        done = (int(c["next_id"]) >= num_paths
+                and not bool(jnp.any(c["active"])))
+        if done:
+            break
+        steps = max_len  # drain launches
+    # Final flush of lanes that ended after the last regeneration check.
+    film = c["film"].at[
+        jnp.where(c["lane_pixel"] >= 0, c["lane_pixel"], num_pixels)
+    ].add(jnp.where((c["lane_pixel"] >= 0)[:, None], c["radiance"], 0.0),
+          mode="drop")
+    if with_stats:
+        return film, c["n_rays"]
+    return film
 
 
 def render_pt_frame(
