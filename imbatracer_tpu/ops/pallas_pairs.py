@@ -64,6 +64,7 @@ from .pallas_stream import (
 
 K_MAX = 8
 RAY_CHUNK = 1 << 15      # per-ray candidate pass ray-chunking (VMEM bound)
+FIRST_K = True           # first-k-by-index candidates (vs top_k by entry t)
 
 
 # --------------------------------------------------------------------------
@@ -103,11 +104,30 @@ def ray_candidates(rays8t, sbox, k_max=K_MAX):
             m = (tn <= tf) & (tf >= tmin[None]) & (tn <= tmax[None])
             ent_cols.append(jnp.where(m, jnp.maximum(tn, 0.0), BIG))
         ent_all = jnp.concatenate(ent_cols, axis=0).T        # (Rc, S)
-        count = jnp.sum(ent_all < BIG, axis=1).astype(jnp.int32)
+        hit = ent_all < BIG
+        count = jnp.sum(hit, axis=1).astype(jnp.int32)
         k = min(k_max, num_s)
-        neg, idx = jax.lax.top_k(-ent_all, k)
-        ent = -neg
-        idx = jnp.where(ent < BIG, idx.astype(jnp.int32), -1)
+        if FIRST_K:
+            # First-k-by-index via rank arithmetic: the 1-pass queue
+            # never uses candidate ORDER (no early exit across pairs;
+            # saturated rays re-trace through the exact fallback), so
+            # the front-to-back top_k — whose TPU lowering is a
+            # per-row sort — is pure overhead.  k argmax reductions
+            # replace it.
+            rank = jnp.cumsum(hit.astype(jnp.int32), axis=1)
+            idx_cols = []
+            for j in range(k):
+                sel = hit & (rank == j + 1)
+                col = jnp.argmax(sel, axis=1).astype(jnp.int32)
+                idx_cols.append(jnp.where(count > j, col, -1))
+            idx = jnp.stack(idx_cols, axis=1)
+            # Entry ts are unused by the 1-pass queue; keep the return
+            # shape without paying per-row gathers.
+            ent = jnp.where(idx >= 0, 0.0, BIG)
+        else:
+            neg, idx = jax.lax.top_k(-ent_all, k)
+            ent = -neg
+            idx = jnp.where(ent < BIG, idx.astype(jnp.int32), -1)
         outs_i.append(idx)
         outs_e.append(ent)
         outs_c.append(count)

@@ -187,8 +187,11 @@ ALPHA_ROUNDS = 4
 # Mrays/s scattered at 24k tris vs 1.5 for the Morton-sorted stream
 # path (scripts/bench_stream.py); exactness for top-K-saturated rays is
 # restored by a compacted stream fallback dispatch inside
-# closest_hit_pairs / any_hit_pairs.
-USE_PAIRS = True
+# closest_hit_pairs / any_hit_pairs.  Env override for A/B scripts:
+# IMBA_USE_PAIRS=0.
+import os as _os
+
+USE_PAIRS = _os.environ.get("IMBA_USE_PAIRS", "1") != "0"
 
 
 def _inst(bvh):

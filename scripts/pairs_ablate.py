@@ -104,6 +104,20 @@ def main():
                                      0.0, jnp.full((n,), 10.0))
                 return jnp.sum(o.astype(jnp.float32)) * 1e-9
 
+            # A/B the candidate formulations (first-k rank arithmetic vs
+            # per-row top_k by entry t).
+            for mode in (True, False):
+                pp.FIRST_K = mode
+                try:
+                    dt = slope(s_cand, rays8t)
+                    print(f"  [{rname}] candidates "
+                          f"({'first-k' if mode else 'top_k '}): "
+                          f"{dt*1e3:8.2f} ms", flush=True)
+                except Exception as e:
+                    print(f"  [{rname}] candidates({mode}): FAILED "
+                          f"{type(e).__name__}", flush=True)
+            pp.FIRST_K = True
+
             for name, fn, args in (
                 ("candidates", s_cand, (rays8t,)),
                 ("queue sort", s_queue, (idx, rays8)),
