@@ -81,11 +81,14 @@ def ray_candidates(rays8t, sbox, k_max=K_MAX):
     k = min(k_max, num_superchunks) (small scenes get narrow queues).
 
     Returns (idx (R, k) i32 — -1 past the ray's count, ent (R, k) f32
-    entry t (BIG where invalid), count (R,) i32 total intersected —
-    may exceed k; callers compare against k to detect saturation)."""
+    entry t (BIG where invalid), count (R,) i32 total intersected — may
+    exceed k; callers compare against k to detect saturation, and
+    mindrop (R,) f32 — the smallest entry t among candidates NOT kept
+    (BIG when none dropped): a closest hit at t <= mindrop is provably
+    exact even for a saturated ray."""
     num_s = sbox.shape[0]
     num_r = rays8t.shape[1]
-    outs_i, outs_e, outs_c = [], [], []
+    outs_i, outs_e, outs_c, outs_m = [], [], [], []
     for r0 in range(0, num_r, RAY_CHUNK):
         r1 = min(r0 + RAY_CHUNK, num_r)
         o = rays8t[0:3, r0:r1]                 # (3, Rc)
@@ -112,8 +115,8 @@ def ray_candidates(rays8t, sbox, k_max=K_MAX):
             # never uses candidate ORDER (no early exit across pairs;
             # saturated rays re-trace through the exact fallback), so
             # the front-to-back top_k — whose TPU lowering is a
-            # per-row sort — is pure overhead.  k argmax reductions
-            # replace it.
+            # per-row sort — is pure overhead (measured 29 vs 7.6 ms at
+            # 264k tris).  k argmax reductions replace it.
             rank = jnp.cumsum(hit.astype(jnp.int32), axis=1)
             idx_cols = []
             for j in range(k):
@@ -124,15 +127,21 @@ def ray_candidates(rays8t, sbox, k_max=K_MAX):
             # Entry ts are unused by the 1-pass queue; keep the return
             # shape without paying per-row gathers.
             ent = jnp.where(idx >= 0, 0.0, BIG)
+            mindrop = jnp.min(
+                jnp.where(hit & (rank > k), ent_all, BIG), axis=1)
         else:
             neg, idx = jax.lax.top_k(-ent_all, k)
             ent = -neg
             idx = jnp.where(ent < BIG, idx.astype(jnp.int32), -1)
+            rank = jnp.cumsum(hit.astype(jnp.int32), axis=1)
+            kth = jnp.max(jnp.where(ent < BIG, ent, -BIG), axis=1)
+            mindrop = jnp.where(count > k, jnp.maximum(kth, 0.0), BIG)
         outs_i.append(idx)
         outs_e.append(ent)
         outs_c.append(count)
+        outs_m.append(mindrop)
     return (jnp.concatenate(outs_i), jnp.concatenate(outs_e),
-            jnp.concatenate(outs_c))
+            jnp.concatenate(outs_c), jnp.concatenate(outs_m))
 
 
 def build_queue(idx, rays8, num_s):
@@ -376,19 +385,34 @@ def closest_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None,
                       inst=None, k_max=K_MAX):
     """Closest hit via the sorted pair queue, EXACT for every ray.
 
-    Rays whose true candidate count exceeds the top-K cap ("saturated")
-    re-trace through the sorted block-stream kernel in one extra
-    dispatch — saturated lanes are typically rare, and the stream path
-    compacts dead lanes into zero-work blocks, so the fallback costs
-    ~fixed dispatch overhead.  Statically skipped when the scene has
-    <= k_max super-chunks (saturation impossible)."""
+    Rays enter in MORTON order (the _sorted_dispatch wrapper): the queue
+    sort is stable, so a super-chunk's pair run — and therefore each
+    kernel block — holds spatially clustered rays that flag few chunk
+    groups, instead of arbitrary rays paying every MT group of the tile
+    (measured 48 ms kernel time of an 87 ms scattered dispatch at 24k
+    tris before the reorder, scripts/pairs_ablate.py)."""
+    from .pallas_stream import _sorted_dispatch
+
+    return _sorted_dispatch(
+        lambda sb, ti, o, dd, t0, t1, active=None, inst=None:
+            _closest_hit_pairs_raw(sb, ti, o, dd, t0, t1, active=active,
+                                   inst=inst, k_max=k_max),
+        sbox, tiles, org, d, tmin, tmax, active, inst)
+
+
+def _closest_hit_pairs_raw(sbox, tiles, org, d, tmin, tmax, active=None,
+                           inst=None, k_max=K_MAX):
+    """The queue + kernel + resolve pipeline; exact via the saturation
+    fallback (rays with more true candidates than the top-K cap re-trace
+    through the compacted stream kernel — statically skipped when the
+    scene has <= k_max super-chunks)."""
     from ..render.traverse import Hit
 
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
     num_rp = rays8t.shape[1]                  # padded to BLK
     rays8 = rays8t.T                          # (Rp, 8)
     num_s = sbox.shape[0]
-    idx, _ent, count = ray_candidates(rays8t, sbox, k_max)
+    idx, _ent, count, mindrop = ray_candidates(rays8t, sbox, k_max)
 
     rows, sc_col, pair_ray, bounds = build_queue(idx, rays8, num_s)
     out = _pairs_call(rows, sc_col, bounds, tiles, occl=False, inst=inst)
@@ -398,25 +422,48 @@ def closest_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None,
     if num_s > k_max:
         from .pallas_stream import closest_hit_sorted
 
-        sat = (count[:num_r] > idx.shape[1])
+        # A saturated ray is still EXACT when its hit is closer than
+        # every dropped candidate's entry t.
+        sat = (count[:num_r] > idx.shape[1]) & (
+            (pid < 0) | (t > mindrop[:num_r]))
         if active is not None:
             sat = sat & active
-        h2 = closest_hit_sorted(sbox, tiles, org, d, tmin, tmax,
-                                active=sat, inst=inst)
-        t = jnp.where(sat, h2.t, t)
-        pid = jnp.where(sat, h2.prim_id, pid)
-        u = jnp.where(sat, h2.u, u)
-        v = jnp.where(sat, h2.v, v)
+
+        # lax.cond: the fallback dispatch (2 sorts + a stream kernel
+        # call) only runs when saturated rays actually exist.
+        def fb(_):
+            h2 = closest_hit_sorted(sbox, tiles, org, d, tmin, tmax,
+                                    active=sat, inst=inst)
+            return (jnp.where(sat, h2.t, t),
+                    jnp.where(sat, h2.prim_id, pid),
+                    jnp.where(sat, h2.u, u),
+                    jnp.where(sat, h2.v, v))
+
+        t, pid, u, v = jax.lax.cond(
+            jnp.any(sat), fb, lambda _: (t, pid, u, v), None)
     return Hit(t=jnp.where(pid >= 0, t, BIG), prim_id=pid, u=u, v=v)
 
 
 def any_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None, inst=None,
                   k_max=K_MAX):
+    """Occlusion via the sorted pair queue (Morton-fed, see
+    closest_hit_pairs)."""
+    from .pallas_stream import _sorted_dispatch
+
+    return _sorted_dispatch(
+        lambda sb, ti, o, dd, t0, t1, active=None, inst=None:
+            _any_hit_pairs_raw(sb, ti, o, dd, t0, t1, active=active,
+                               inst=inst, k_max=k_max),
+        sbox, tiles, org, d, tmin, tmax, active, inst)
+
+
+def _any_hit_pairs_raw(sbox, tiles, org, d, tmin, tmax, active=None,
+                       inst=None, k_max=K_MAX):
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
     num_rp = rays8t.shape[1]
     rays8 = rays8t.T
     num_s = sbox.shape[0]
-    idx, _ent, count = ray_candidates(rays8t, sbox, k_max)
+    idx, _ent, count, _mindrop = ray_candidates(rays8t, sbox, k_max)
 
     rows, sc_col, pair_ray, bounds = build_queue(idx, rays8, num_s)
     out = _pairs_call(rows, sc_col, bounds, tiles, occl=True, inst=inst)
@@ -435,7 +482,11 @@ def any_hit_pairs(sbox, tiles, org, d, tmin, tmax, active=None, inst=None,
         sat = (count[:num_r] > idx.shape[1]) & ~occ
         if active is not None:
             sat = sat & active
-        occ2 = any_hit_sorted(sbox, tiles, org, d, tmin, tmax,
-                              active=sat, inst=inst)
-        occ = occ | (sat & occ2)
+
+        def fb(_):
+            occ2 = any_hit_sorted(sbox, tiles, org, d, tmin, tmax,
+                                  active=sat, inst=inst)
+            return occ | (sat & occ2)
+
+        occ = jax.lax.cond(jnp.any(sat), fb, lambda _: occ, None)
     return occ

@@ -64,15 +64,16 @@ def main():
             org = org - center[None, :]
             rays8t, _ = pp._rays8t(org, d, 0.0, ps.BIG, None)
             rays8 = rays8t.T
-            idx, ent, count = pp.ray_candidates(rays8t, sboxj)
+            idx, ent, count, mindrop = pp.ray_candidates(rays8t, sboxj)
             sat = float(jnp.mean((count > pp.K_MAX).astype(jnp.float32)))
             avg = float(jnp.mean(count.astype(jnp.float32)))
             print(f"  [{rname}] candidates/ray avg {avg:.1f}, "
                   f"saturated {100*sat:.2f}%", flush=True)
 
             def s_cand(rays8t, salt=0.0):
-                i, e, c = pp.ray_candidates(rays8t + salt, sboxj)
-                return jnp.sum(e * 1e-12) + jnp.sum(i).astype(jnp.float32) * 1e-12
+                i, e, c, m = pp.ray_candidates(rays8t + salt, sboxj)
+                return (jnp.sum(e * 1e-12) + jnp.sum(m * 1e-12)
+                        + jnp.sum(i).astype(jnp.float32) * 1e-12)
 
             def s_queue(idx, rays8, salt=0.0):
                 rows, scc, pr, bounds = pp.build_queue(idx, rays8 + salt,
