@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from .flatten import ThreadedBvh
 
 DENSE_MAX_TRIS = 1024
+DENSEL_MAX_TRIS = 4096
 
 
 def choose_mode(t: ThreadedBvh, backend: Optional[str] = None) -> str:
@@ -39,9 +40,13 @@ def choose_mode(t: ThreadedBvh, backend: Optional[str] = None) -> str:
 
     TPU: dense for tiny scenes (exhaustive fused arithmetic beats any
     hierarchy below ~1k triangles — a dynamic gather costs a flat
-    ~3.3 ms/M lanes), streaming Pallas kernel otherwise (no size cap).
-    CPU (tests): the XLA skip-link loop — Mosaic kernels would need
-    interpret mode and the unrolled dense form is expensive to compile.
+    ~3.3 ms/M lanes); "densel" — the same exhaustive test as a chunked
+    fori_loop (compiles in O(chunk), render/traverse._dense_chunked) —
+    up to ~4k tris, where brute-force VPU work still undercuts every
+    hierarchy's per-dispatch machinery; streaming Pallas kernel beyond
+    (no size cap).  CPU (tests): the XLA skip-link loop — Mosaic
+    kernels would need interpret mode and the unrolled dense form is
+    expensive to compile.
     """
     if backend is None:
         backend = jax.default_backend()
@@ -49,6 +54,8 @@ def choose_mode(t: ThreadedBvh, backend: Optional[str] = None) -> str:
         return "xla"
     if t.tri_v0.shape[0] <= DENSE_MAX_TRIS:
         return "dense"
+    if t.tri_v0.shape[0] <= DENSEL_MAX_TRIS:
+        return "densel"
     return "stream"
 
 

@@ -238,6 +238,99 @@ def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active):
     return hit
 
 
+def _dense_chunked(bvh, org, d, tmin, tmax, active, alpha_fn, want_hit,
+                   chunk: int = 32):
+    """Exhaustive all-triangles test as a fori_loop over triangle chunks.
+
+    Same zero-gather arithmetic as the unrolled dense mode, but the loop
+    body covers `chunk` triangles (sliced contiguously — no gathers), so
+    compile size is O(chunk) instead of O(num_tris).  Extends the dense
+    regime to mid scenes (2-4k tris, e.g. the cornell VCM family) where
+    exhaustive VPU work (~25 ops per ray-tri pair) still beats ANY
+    hierarchy's per-dispatch machinery: sorts, candidate lists and
+    kernel launches all cost more than brute force at this size.
+    The body is large enough (chunk x R lanes) to amortise XLA's
+    per-iteration loop overhead (the known ~100x penalty applies to
+    SMALL bodies, scripts/profile_loop_gather.py)."""
+    num_r = org.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
+    ox, oy, oz = _components(org)
+    dx, dy, dz = _components(d)
+    act = (jnp.ones((num_r,), jnp.bool_) if active is None else active)
+
+    num_p = bvh.tri_v0.shape[0]
+    pad = (-num_p) % chunk
+    v0 = jnp.pad(bvh.tri_v0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(bvh.tri_e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(bvh.tri_e2, ((0, pad), (0, 0)))
+    tid_arr = jnp.pad(bvh.tri_id, (0, pad), constant_values=-1)
+
+    big = jnp.float32(BIG)
+    init = (
+        tmax,                                  # best t / unused for occl
+        jnp.zeros((num_r,), jnp.int32) - 1,    # best id
+        jnp.zeros((num_r,), jnp.float32),      # u
+        jnp.zeros((num_r,), jnp.float32),      # v
+        jnp.zeros((num_r,), jnp.bool_),        # occluded
+    )
+
+    def body(i, st):
+        best_t, best_id, best_u, best_v, occluded = st
+        base = i * chunk
+        vc = jax.lax.dynamic_slice(v0, (base, 0), (chunk, 3))
+        e1c = jax.lax.dynamic_slice(e1, (base, 0), (chunk, 3))
+        e2c = jax.lax.dynamic_slice(e2, (base, 0), (chunk, 3))
+        tic = jax.lax.dynamic_slice(tid_arr, (base,), (chunk,))
+        for j in range(chunk):
+            v0x, v0y, v0z = vc[j, 0], vc[j, 1], vc[j, 2]
+            e1x, e1y, e1z = e1c[j, 0], e1c[j, 1], e1c[j, 2]
+            e2x, e2y, e2z = e2c[j, 0], e2c[j, 1], e2c[j, 2]
+            tid = tic[j]
+
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            limit = best_t if want_hit else tmax
+            ok = (
+                (inv_det != 0.0)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (tt > tmin)
+                & (tt < limit)
+                & act
+                & (tid >= 0)
+            )
+            if alpha_fn is not None:
+                prim_b = jnp.broadcast_to(tid, ok.shape)
+                ok = ok & alpha_fn(jnp.maximum(prim_b, 0), u, v)
+            if want_hit:
+                best_t = jnp.where(ok, tt, best_t)
+                best_id = jnp.where(ok, tid, best_id)
+                best_u = jnp.where(ok, u, best_u)
+                best_v = jnp.where(ok, v, best_v)
+            else:
+                occluded = occluded | ok
+        return best_t, best_id, best_u, best_v, occluded
+
+    best_t, best_id, best_u, best_v, occluded = jax.lax.fori_loop(
+        0, (num_p + pad) // chunk, body, init)
+    if want_hit:
+        best_t = jnp.where(best_id >= 0, best_t, big)
+        return Hit(t=best_t, prim_id=best_id, u=best_u, v=best_v)
+    return occluded
+
+
 def _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, want_hit):
     """Statically unrolled all-triangles test (see module docstring)."""
     # NB: scalar tmin/tmax stay CONSTANTS here (no `vary` term): the
@@ -341,6 +434,9 @@ def closest_hit(
     """
     if bvh.mode == "dense" or max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, True)
+    if bvh.mode == "densel":
+        return _dense_chunked(bvh, org, d, tmin, tmax, active, alpha_fn,
+                              True)
     if bvh.mode in ("stream", "stream2"):
         from ..ops.pallas_pairs import closest_hit_pairs
         from ..ops.pallas_stream import closest_hit_stream
@@ -420,6 +516,9 @@ def any_hit(
     """
     if bvh.mode == "dense" or max_steps == -1:
         return _dense_loop(bvh, org, d, tmin, tmax, active, alpha_fn, False)
+    if bvh.mode == "densel":
+        return _dense_chunked(bvh, org, d, tmin, tmax, active, alpha_fn,
+                              False)
     if bvh.mode in ("stream", "stream2"):
         from ..ops.pallas_pairs import any_hit_pairs
         from ..ops.pallas_stream import any_hit_stream
