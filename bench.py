@@ -41,11 +41,13 @@ def main():
     cam = camera_for_scene(meta, settings)
     max_steps = traversal_steps(meta)
 
-    # Regenerated wavefront on TPU (render_pt_frame_regen): dead lanes
-    # re-seeded from the path queue keep the megastep ~full while RR +
-    # emitter hits drain paths — the banded megastep pays max_len full
-    # bounces for a shrinking active set.
-    render = (render_pt_frame_regen if jax.default_backend() == "tpu"
+    # Regenerated wavefront (render_pt_frame_regen) is OPT-IN until its
+    # per-step flush cost is fixed: first measurement 3.81 vs 24.5
+    # Mrays/s banded (see scripts/profile_regen.py).
+    import os as _os
+    render = (render_pt_frame_regen
+              if (jax.default_backend() == "tpu"
+                  and _os.environ.get("IMBA_PT_REGEN", "0") == "1")
               else render_pt_frame)
 
     def frame(i):

@@ -32,7 +32,14 @@ import jax.numpy as jnp
 from .flatten import ThreadedBvh
 
 DENSE_MAX_TRIS = 1024
-DENSEL_MAX_TRIS = 4096
+# Chunked-loop dense ("densel") routing is OFF by default: measured on
+# TPU it LOST badly to the pair queue at 2.2k tris (cornell VCM no-merge
+# frame 4.9 s vs ~2.5 s — the fori_loop's per-iteration overhead at
+# 262k-lane bodies dominates the saved machinery).  The mode remains
+# implemented + tested for experiments: IMBA_DENSEL_MAX=4096.
+import os as _os
+
+DENSEL_MAX_TRIS = int(_os.environ.get("IMBA_DENSEL_MAX", "0"))
 
 
 def choose_mode(t: ThreadedBvh, backend: Optional[str] = None) -> str:
@@ -40,13 +47,10 @@ def choose_mode(t: ThreadedBvh, backend: Optional[str] = None) -> str:
 
     TPU: dense for tiny scenes (exhaustive fused arithmetic beats any
     hierarchy below ~1k triangles — a dynamic gather costs a flat
-    ~3.3 ms/M lanes); "densel" — the same exhaustive test as a chunked
-    fori_loop (compiles in O(chunk), render/traverse._dense_chunked) —
-    up to ~4k tris, where brute-force VPU work still undercuts every
-    hierarchy's per-dispatch machinery; streaming Pallas kernel beyond
-    (no size cap).  CPU (tests): the XLA skip-link loop — Mosaic
-    kernels would need interpret mode and the unrolled dense form is
-    expensive to compile.
+    ~3.3 ms/M lanes), streaming Pallas kernel otherwise (no size cap;
+    incoherent dispatches route through the pair queue, traverse.py).
+    CPU (tests): the XLA skip-link loop — Mosaic kernels would need
+    interpret mode and the unrolled dense form is expensive to compile.
     """
     if backend is None:
         backend = jax.default_backend()

@@ -112,7 +112,13 @@ def make_camera_frame_fn(scene, meta, settings: RenderSettings):
         # TPU single-chip: regenerated wavefront (dead lanes re-seeded
         # from the path queue each bounce — the reference's
         # RayQueue::compact role; ~identical estimator, fuller lanes).
-        if jax.default_backend() == "tpu":
+        # OPT-IN while the per-step flush cost is being profiled: the
+        # first TPU measurement came in 6x SLOWER than banded (3.8 vs
+        # 24.5 Mrays/s headline) — suspect the per-step narrow (R, 3)
+        # film scatter-add; see scripts/profile_regen.py.
+        import os as _os
+        if (jax.default_backend() == "tpu"
+                and _os.environ.get("IMBA_PT_REGEN", "0") == "1"):
             from ..render.integrators.pt import render_pt_frame_regen
 
             def core(frame, cam):

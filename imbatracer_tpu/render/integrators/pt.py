@@ -321,10 +321,12 @@ REGEN_EST_BOUNCES = 4
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_len", "has_masks",
-                     "has_bump", "max_steps", "steps", "num_paths"),
+                     "has_bump", "max_steps", "steps", "num_paths",
+                     "flush", "reseed"),
 )
 def _pt_regen_megastep(scene, cam, frame, c, *, width, height, spp, max_len,
-                       has_masks, has_bump, max_steps, steps, num_paths):
+                       has_masks, has_bump, max_steps, steps, num_paths,
+                       flush=True, reseed=True):
     """`steps` regeneration+bounce iterations over a fixed lane pool.
 
     The reference reclaims dead queue slots with RayQueue::compact +
@@ -343,11 +345,26 @@ def _pt_regen_megastep(scene, cam, frame, c, *, width, height, spp, max_len,
 
     def step_body(s, c):
         # ---- flush + regenerate dead lanes ---------------------------
+        # (`flush`/`reseed` are profiling knobs: False skips the film
+        # scatter / the whole reseed block to isolate their step cost —
+        # results are WRONG with either off.)
         dead = ~c["active"]
-        flush = dead & (c["lane_pixel"] >= 0)
-        film = c["film"].at[
-            jnp.where(flush, c["lane_pixel"], num_pixels)
-        ].add(jnp.where(flush[:, None], c["radiance"], 0.0), mode="drop")
+        fl = dead & (c["lane_pixel"] >= 0)
+        if flush:
+            film = c["film"].at[
+                jnp.where(fl, c["lane_pixel"], num_pixels)
+            ].add(jnp.where(fl[:, None], c["radiance"], 0.0), mode="drop")
+        else:
+            film = c["film"]
+
+        if not reseed:
+            out = _pt_bounce(scene, c_strip(c), alpha_fn=alpha_fn,
+                             has_bump=has_bump, max_len=max_len,
+                             max_steps=max_steps)
+            out["film"] = film
+            out["lane_pixel"] = c["lane_pixel"]
+            out["next_id"] = c["next_id"]
+            return out
 
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
         new_id = c["next_id"] + rank
@@ -367,7 +384,7 @@ def _pt_regen_megastep(scene, cam, frame, c, *, width, height, spp, max_len,
             d=jnp.where(start3, d0, c["d"]),
             tmin=jnp.where(start, 0.0, c["tmin"]),
             throughput=jnp.where(start3, 1.0, c["throughput"]),
-            radiance=jnp.where((flush | start)[:, None], 0.0, c["radiance"]),
+            radiance=jnp.where((fl | start)[:, None], 0.0, c["radiance"]),
             active=c["active"] | start,
             depth=jnp.where(start, 0, c["depth"]),
             last_pdf=jnp.where(start, 1.0, c["last_pdf"]),
@@ -379,9 +396,13 @@ def _pt_regen_megastep(scene, cam, frame, c, *, width, height, spp, max_len,
                          max_len=max_len, max_steps=max_steps)
         out["film"] = film
         out["lane_pixel"] = jnp.where(
-            start, pid, jnp.where(flush, -1, c["lane_pixel"]))
+            start, pid, jnp.where(fl, -1, c["lane_pixel"]))
         out["next_id"] = c["next_id"] + jnp.sum(start.astype(jnp.int32))
         return out
+
+    def c_strip(c):
+        return {k: v for k, v in c.items()
+                if k not in ("film", "lane_pixel", "next_id")}
 
     return jax.lax.fori_loop(0, steps, step_body, c)
 
