@@ -128,7 +128,17 @@ def build_merge_grid(pos, valid, radius, w_in, throughput, d_vcm,
     bbox_max = jnp.where(any_valid, bbox_max, 1.0)
     ext = bbox_max - bbox_min
     bbox_min = bbox_min - ext * 1e-3 - 1e-6
-    inv_cell = 1.0 / jnp.maximum(2.0 * radius, 1e-12)
+    # Cell size: >= 2r for the 2x2x2 cover argument, AND large enough
+    # that the grid FITS GRID^3 — cells beyond the clamp would alias
+    # into boundary mega-cells whose photon runs every nearby block
+    # walks (measured: a progressive-radius cornell run spent ~1.9 s of
+    # a 512² frame in exactly that before this guard).  Oversized cells
+    # stay exact: a point within r of a query is still inside the
+    # 2x2x2 block for any cell >= 2r; only the per-cell candidate count
+    # grows (rejected by the radius test).
+    cell = jnp.maximum(2.0 * radius,
+                       jnp.max(ext) * 1.01 / GRID)
+    inv_cell = 1.0 / jnp.maximum(cell, 1e-12)
 
     c = jnp.clip(jnp.floor((pos - bbox_min) * inv_cell).astype(jnp.int32),
                  0, GRID - 1)

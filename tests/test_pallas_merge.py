@@ -225,3 +225,44 @@ def test_vertex_merging_routes_agree():
     a, b = np.asarray(a), np.asarray(b)
     assert float(np.abs(a).sum()) > 0.0  # fixture really merges photons
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_merge_kernel_tiny_radius():
+    """Progressive-radius regression: a radius far smaller than the
+    scene (true grid >> 256 cells/axis) must still be exact — the cell
+    size grows to fit the 256³ key space instead of aliasing photons
+    into boundary mega-cells."""
+    rs = np.random.RandomState(12)
+    num_p, num_q = 600, 300
+    radius = jnp.float32(0.0008)
+
+    ppos = jnp.asarray(rs.rand(num_p, 3), jnp.float32)
+    # Guarantee some in-radius pairs: co-locate queries with photons.
+    qbase = np.asarray(ppos)[rs.randint(0, num_p, num_q)]
+    pvalid = jnp.ones((num_p,), bool)
+    p_win = jnp.asarray(_normalize(rs.randn(num_p, 3)), jnp.float32)
+    p_tp = jnp.asarray(rs.rand(num_p, 3), jnp.float32)
+    p_dvcm = jnp.asarray(rs.rand(num_p), jnp.float32)
+    p_dvm = jnp.asarray(rs.rand(num_p), jnp.float32)
+
+    (qpos, n, gn, w_out, params, q_dvcm, q_dvm, active) = _make_queries(
+        rs, num_q, (0,))
+    qpos = jnp.asarray(
+        qbase + 0.0005 * rs.randn(num_q, 3).astype(np.float32))
+
+    grid = pallas_merge.build_merge_grid(
+        ppos, pvalid, radius, p_win, p_tp, p_dvcm, p_dvm)
+    old = pallas_merge.INTERPRET
+    pallas_merge.INTERPRET = True
+    try:
+        got = pallas_merge.merge_contrib(
+            grid, qpos, n, gn, w_out, params, q_dvcm, q_dvm, active,
+            jnp.float32(0.2), kinds=(0,), ppm=False)
+    finally:
+        pallas_merge.INTERPRET = old
+    want = _ref_merge(qpos, n, gn, w_out, params, q_dvcm, q_dvm, active,
+                      ppos, pvalid, p_win, p_tp, p_dvcm, p_dvm,
+                      radius, jnp.float32(0.2), False)
+    assert float(np.abs(np.asarray(want)).sum()) > 0.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
