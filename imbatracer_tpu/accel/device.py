@@ -41,6 +41,11 @@ import os as _os
 
 DENSEL_MAX_TRIS = int(_os.environ.get("IMBA_DENSEL_MAX", "0"))
 
+# VMEM-resident kernel (ops/pallas_vmem.py): whole feature-tile set as a
+# pallas VMEM input — zero per-dispatch machinery.  Packed-count bound =
+# 8 super-chunks x 1024 slots (768 KB of VMEM tiles).
+VMEM_MAX_TRIS = 8 * 1024
+
 
 def choose_mode(t: ThreadedBvh, backend: Optional[str] = None) -> str:
     """Pick the traversal mode for this scene + backend.
@@ -60,6 +65,8 @@ def choose_mode(t: ThreadedBvh, backend: Optional[str] = None) -> str:
         return "dense"
     if t.tri_v0.shape[0] <= DENSEL_MAX_TRIS:
         return "densel"
+    if t.tri_v0.shape[0] <= VMEM_MAX_TRIS:
+        return "vmem"
     return "stream"
 
 
@@ -101,7 +108,7 @@ class DeviceBvh:
             tri_e2=jnp.asarray(t.tri_e2),
             tri_id=jnp.asarray(t.tri_id),
         )
-        if mode == "stream":
+        if mode in ("stream", "vmem"):
             sbox, tiles, center = t.stream_arrays()
             kw.update(sbox=jnp.asarray(sbox), tiles=jnp.asarray(tiles),
                       center=jnp.asarray(center))

@@ -193,6 +193,12 @@ import os as _os
 
 USE_PAIRS = _os.environ.get("IMBA_USE_PAIRS", "1") != "0"
 
+# Below this super-chunk count the block-stream kernel's divergence is
+# bounded by the tiny candidate set and the pair queue's sorts cost more
+# than they save (cornell_specular, S=3: sorted-stream VCM no-merge
+# frame ~1.5 s vs pairs ~1.83 s).
+PAIRS_MIN_SUPERCHUNKS = 8
+
 
 def _inst(bvh):
     """Two-level instancing metadata for the streaming kernel (or None)."""
@@ -209,10 +215,13 @@ def _recenter(bvh, org):
     return org - bvh.center[None, :]
 
 
-def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active):
+def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active,
+                        hit_fn=None):
     """Closest hit with transparency masks via iterative re-tracing."""
     from ..ops.pallas_stream import closest_hit_stream
 
+    if hit_fn is None:
+        hit_fn = closest_hit_stream
     org = _recenter(bvh, org)
     num_r = org.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
@@ -220,15 +229,15 @@ def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active):
     act = (
         jnp.ones((num_r,), jnp.bool_) if active is None else active
     )
-    hit = closest_hit_stream(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
-                             active=act, inst=_inst(bvh))
+    hit = hit_fn(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
+                 active=act, inst=_inst(bvh))
     for _ in range(ALPHA_ROUNDS):
         got = act & (hit.prim_id >= 0)
         opaque = alpha_fn(jnp.maximum(hit.prim_id, 0), hit.u, hit.v)
         retrace = got & ~opaque
         new_tmin = hit.t + 1e-3 * jnp.maximum(hit.t, 1e-3)
-        h2 = closest_hit_stream(bvh.sbox, bvh.tiles, org, d, new_tmin, tmax,
-                                active=retrace, inst=_inst(bvh))
+        h2 = hit_fn(bvh.sbox, bvh.tiles, org, d, new_tmin, tmax,
+                    active=retrace, inst=_inst(bvh))
         hit = Hit(
             t=jnp.where(retrace, h2.t, hit.t),
             prim_id=jnp.where(retrace, h2.prim_id, hit.prim_id),
@@ -437,14 +446,27 @@ def closest_hit(
     if bvh.mode == "densel":
         return _dense_chunked(bvh, org, d, tmin, tmax, active, alpha_fn,
                               True)
+    if bvh.mode == "vmem":
+        from ..ops.pallas_vmem import closest_hit_vmem
+
+        if alpha_fn is None:
+            return closest_hit_vmem(bvh.sbox, bvh.tiles,
+                                    _recenter(bvh, org), d, tmin, tmax,
+                                    active=active)
+        return _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn,
+                                   active, hit_fn=closest_hit_vmem)
     if bvh.mode in ("stream", "stream2"):
         from ..ops.pallas_pairs import closest_hit_pairs
         from ..ops.pallas_stream import closest_hit_stream
 
         if alpha_fn is None:
-            # Incoherent dispatches (bounce/shadow batches): Morton-sorted
-            # stream by default; the pair-stream queue behind USE_PAIRS.
-            if sort and USE_PAIRS:
+            # Incoherent dispatches (bounce/shadow batches): the sorted
+            # pair queue for scenes with enough super-chunks, the
+            # Morton-sorted stream kernel otherwise (see
+            # PAIRS_MIN_SUPERCHUNKS).
+            use_pairs = (USE_PAIRS
+                         and bvh.sbox.shape[0] >= PAIRS_MIN_SUPERCHUNKS)
+            if sort and use_pairs:
                 fn = closest_hit_pairs
             elif sort:
                 from ..ops.pallas_stream import closest_hit_sorted
@@ -519,12 +541,23 @@ def any_hit(
     if bvh.mode == "densel":
         return _dense_chunked(bvh, org, d, tmin, tmax, active, alpha_fn,
                               False)
+    if bvh.mode == "vmem":
+        from ..ops.pallas_vmem import any_hit_vmem, closest_hit_vmem
+
+        if alpha_fn is None:
+            return any_hit_vmem(bvh.sbox, bvh.tiles, _recenter(bvh, org),
+                                d, tmin, tmax, active=active)
+        hit = _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn,
+                                  active, hit_fn=closest_hit_vmem)
+        return hit.prim_id >= 0
     if bvh.mode in ("stream", "stream2"):
         from ..ops.pallas_pairs import any_hit_pairs
         from ..ops.pallas_stream import any_hit_stream
 
         if alpha_fn is None:
-            if sort and USE_PAIRS:
+            use_pairs = (USE_PAIRS
+                         and bvh.sbox.shape[0] >= PAIRS_MIN_SUPERCHUNKS)
+            if sort and use_pairs:
                 fn = any_hit_pairs
             elif sort:
                 from ..ops.pallas_stream import any_hit_sorted

@@ -230,3 +230,63 @@ def test_pairs_saturation_fallback_exact():
             ps.pl.pallas_call = orig
 
     _interp3(run)
+
+
+def test_vmem_kernel_matches_bvh():
+    """VMEM-resident small-scene kernel (ops/pallas_vmem.py) vs the
+    skip-link loop: incoherent rays, closest + occlusion + actives."""
+    from imbatracer_tpu.ops import pallas_stream as ps
+    from imbatracer_tpu.ops import pallas_vmem as pv
+
+    def run():
+        scene, _ = make_cornell_scene()
+        sbox, tiles, center = ps.pack_stream_tiles(
+            np.asarray(scene.bvh.tri_v0), np.asarray(scene.bvh.tri_e1),
+            np.asarray(scene.bvh.tri_e2), np.asarray(scene.bvh.tri_id),
+        )
+        sboxj, tilesj = jnp.asarray(sbox), jnp.asarray(tiles)
+        rs = np.random.RandomState(29)
+        n = 1024
+        org = jnp.asarray(rs.rand(n, 3).astype(np.float32) * 1.6 - 0.8
+                          ) + jnp.asarray([0, 1, 0], jnp.float32)
+        d = jnp.asarray(rs.randn(n, 3), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        active = jnp.asarray(rs.rand(n) < 0.8)
+        org_c = org - jnp.asarray(center)[None, :]
+
+        hp = pv.closest_hit_vmem(sboxj, tilesj, org_c, d, 0.0, BIG,
+                                 active=active)
+        hx = closest_hit(scene.bvh, org, d, 0.0, BIG, active=active)
+        tp, tx = np.asarray(hp.t), np.asarray(hx.t)
+        pid_p, pid_x = np.asarray(hp.prim_id), np.asarray(hx.prim_id)
+        tie = (pid_p != pid_x) & (pid_p >= 0) & (pid_x >= 0) & (tp == tx)
+        assert ((pid_p == pid_x) | tie).all()
+        m = (pid_x >= 0) & ~tie
+        np.testing.assert_allclose(tp[m], tx[m], rtol=1e-4)
+
+        occ_p = pv.any_hit_vmem(sboxj, tilesj, org_c, d, 0.0,
+                                jnp.full((n,), 2.0), active=active)
+        occ_x = any_hit(scene.bvh, org, d, 0.0, jnp.full((n,), 2.0),
+                        active=active)
+        np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_x))
+
+    def _interp4(fn):
+        if jax.default_backend() != "cpu":
+            return fn()
+        import jax.experimental.pallas as pl
+        from imbatracer_tpu.ops import pallas_vmem as pv
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        pl.pallas_call = interp
+        pv.pl.pallas_call = interp
+        try:
+            return fn()
+        finally:
+            pl.pallas_call = orig
+            pv.pl.pallas_call = orig
+
+    _interp4(run)
