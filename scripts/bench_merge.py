@@ -78,7 +78,7 @@ def main():
             t0 = time.time()
             for i in range(1, reps + 1):
                 jax.block_until_ready(frame(i, **kw))
-            dt = (time.time() - t0) / reps
+            dt = (time.time() - t0) / max(reps, 1)
             log(f"[{size}] {tag:16s}: {dt * 1e3:8.1f} ms/frame "
                 f"(compile+first {t_compile:.1f} s)")
             return img, dt
