@@ -65,6 +65,9 @@ from .pallas_stream import (
 K_MAX = 8
 RAY_CHUNK = 1 << 15      # per-ray candidate pass ray-chunking (VMEM bound)
 FIRST_K = True           # first-k-by-index candidates (vs top_k by entry t)
+PASSES = 1               # closest-hit schedule: 1 = all candidates in one
+                         # queue; 2 = nearest candidate first, remainder
+                         # clamped to its best t (early termination)
 
 
 # --------------------------------------------------------------------------
@@ -76,7 +79,7 @@ def _safe_inv(x):
     return s / jnp.maximum(jnp.abs(x), 1e-12)
 
 
-def ray_candidates(rays8t, sbox, k_max=K_MAX):
+def ray_candidates(rays8t, sbox, k_max=K_MAX, with_ents=False):
     """Top-k super-chunk candidates per RAY, front-to-back,
     k = min(k_max, num_superchunks) (small scenes get narrow queues).
 
@@ -124,9 +127,21 @@ def ray_candidates(rays8t, sbox, k_max=K_MAX):
                 col = jnp.argmax(sel, axis=1).astype(jnp.int32)
                 idx_cols.append(jnp.where(count > j, col, -1))
             idx = jnp.stack(idx_cols, axis=1)
-            # Entry ts are unused by the 1-pass queue; keep the return
-            # shape without paying per-row gathers.
-            ent = jnp.where(idx >= 0, 0.0, BIG)
+            if with_ents:
+                # Real entry ts (one masked max reduction per column) —
+                # the 2-pass schedule filters pass-2 candidates on them.
+                ent_cols_v = []
+                for j in range(k):
+                    sel = hit & (rank == j + 1)
+                    ent_cols_v.append(jnp.where(
+                        count > j,
+                        jnp.max(jnp.where(sel, ent_all, -BIG), axis=1),
+                        BIG))
+                ent = jnp.stack(ent_cols_v, axis=1)
+            else:
+                # Entry ts are unused by the 1-pass queue; keep the
+                # return shape without paying the extra reductions.
+                ent = jnp.where(idx >= 0, 0.0, BIG)
             mindrop = jnp.min(
                 jnp.where(hit & (rank > k), ent_all, BIG), axis=1)
         else:
@@ -405,19 +420,67 @@ def _closest_hit_pairs_raw(sbox, tiles, org, d, tmin, tmax, active=None,
     """The queue + kernel + resolve pipeline; exact via the saturation
     fallback (rays with more true candidates than the top-K cap re-trace
     through the compacted stream kernel — statically skipped when the
-    scene has <= k_max super-chunks)."""
+    scene has <= k_max super-chunks).
+
+    PASSES == 2 recovers the stream kernel's early termination: pass 1
+    intersects only each ray's NEAREST candidate (most closest-hit rays
+    resolve there); pass 2 runs the remaining candidates with the
+    per-ray tmax clamped to the pass-1 best, so the kernel's chunk/MT
+    culling skips everything provably behind it."""
     from ..render.traverse import Hit
 
     rays8t, num_r = _rays8t(org, d, tmin, tmax, active)
     num_rp = rays8t.shape[1]                  # padded to BLK
     rays8 = rays8t.T                          # (Rp, 8)
     num_s = sbox.shape[0]
-    idx, _ent, count, mindrop = ray_candidates(rays8t, sbox, k_max)
 
-    rows, sc_col, pair_ray, bounds = build_queue(idx, rays8, num_s)
-    out = _pairs_call(rows, sc_col, bounds, tiles, occl=False, inst=inst)
-    t, pid, u, v = _resolve_closest(out, pair_ray, num_rp, idx.shape[1])
-    t, pid, u, v = t[:num_r], pid[:num_r], u[:num_r], v[:num_r]
+    if PASSES == 2:
+        idx, ent, count, mindrop = ray_candidates(rays8t, sbox, k_max,
+                                                  with_ents=True)
+        k = idx.shape[1]
+        # Nearest candidate per ray: unrolled argmin over the k columns.
+        near_ent = ent[:, 0]
+        near_col = jnp.zeros((num_rp,), jnp.int32)
+        for j in range(1, k):
+            closer = ent[:, j] < near_ent
+            near_ent = jnp.where(closer, ent[:, j], near_ent)
+            near_col = jnp.where(closer, j, near_col)
+        # Unrolled column select (take_along_axis on a tiny minor axis
+        # lowers as a slow gather on this TPU).
+        near_sc = idx[:, 0]
+        for j in range(1, k):
+            near_sc = jnp.where(near_col == j, idx[:, j], near_sc)
+        near_sc = near_sc[:, None]
+
+        rows1, scc1, pr1, b1 = build_queue(near_sc, rays8, num_s)
+        out1 = _pairs_call(rows1, scc1, b1, tiles, occl=False, inst=inst)
+        t1, pid1, u1, v1 = _resolve_closest(out1, pr1, num_rp, 1)
+
+        # Pass 2: the other candidates whose entry precedes the pass-1
+        # best t (misses keep t1 = BIG -> everything stays).
+        col_iota = jnp.arange(k, dtype=jnp.int32)[None, :]
+        keep = (idx >= 0) & (col_iota != near_col[:, None]) & (
+            ent < t1[:, None])
+        idx2 = jnp.where(keep, idx, -1)
+        rays8_2 = rays8.at[:, 7].set(jnp.minimum(rays8[:, 7], t1))
+        rows2, scc2, pr2, b2 = build_queue(idx2, rays8_2, num_s)
+        out2 = _pairs_call(rows2, scc2, b2, tiles, occl=False, inst=inst)
+        t2, pid2, u2, v2 = _resolve_closest(out2, pr2, num_rp, k)
+
+        better = t2 < t1
+        t = jnp.where(better, t2, t1)[:num_r]
+        pid = jnp.where(better, pid2, pid1)[:num_r]
+        u = jnp.where(better, u2, u1)[:num_r]
+        v = jnp.where(better, v2, v1)[:num_r]
+    else:
+        idx, _ent, count, mindrop = ray_candidates(rays8t, sbox, k_max)
+
+        rows, sc_col, pair_ray, bounds = build_queue(idx, rays8, num_s)
+        out = _pairs_call(rows, sc_col, bounds, tiles, occl=False,
+                          inst=inst)
+        t, pid, u, v = _resolve_closest(out, pair_ray, num_rp,
+                                        idx.shape[1])
+        t, pid, u, v = t[:num_r], pid[:num_r], u[:num_r], v[:num_r]
 
     if num_s > k_max:
         from .pallas_stream import closest_hit_sorted

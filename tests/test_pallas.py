@@ -207,6 +207,17 @@ def test_pairs_saturation_fallback_exact():
                         jnp.full((n,), 8.0))
         np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_x))
 
+        # 2-pass early-termination schedule must agree too.
+        pp.PASSES = 2
+        try:
+            h2p = pp.closest_hit_pairs(sboxj, tilesj, org_c, d, 0.0, BIG,
+                                       k_max=2)
+        finally:
+            pp.PASSES = 1
+        t2, p2 = np.asarray(h2p.t), np.asarray(h2p.prim_id)
+        tie2 = (p2 != pid_x) & (p2 >= 0) & (pid_x >= 0) & (t2 == tx)
+        assert ((p2 == pid_x) | tie2).all(), np.where(~((p2 == pid_x) | tie2))[0][:10]
+
     def _interp3(fn):
         if jax.default_backend() != "cpu":
             return fn()
