@@ -483,7 +483,9 @@ def _closest_hit_pairs_raw(sbox, tiles, org, d, tmin, tmax, active=None,
         t, pid, u, v = t[:num_r], pid[:num_r], u[:num_r], v[:num_r]
 
     if num_s > k_max:
-        from .pallas_stream import closest_hit_sorted
+        # The outer Morton wrapper already sorted the rays; dispatch the
+        # stream kernel directly (no second sort round trip).
+        from .pallas_stream import closest_hit_stream
 
         # A saturated ray is still EXACT when its hit is closer than
         # every dropped candidate's entry t.
@@ -492,10 +494,10 @@ def _closest_hit_pairs_raw(sbox, tiles, org, d, tmin, tmax, active=None,
         if active is not None:
             sat = sat & active
 
-        # lax.cond: the fallback dispatch (2 sorts + a stream kernel
-        # call) only runs when saturated rays actually exist.
+        # lax.cond: the fallback dispatch only runs when saturated rays
+        # actually exist.
         def fb(_):
-            h2 = closest_hit_sorted(sbox, tiles, org, d, tmin, tmax,
+            h2 = closest_hit_stream(sbox, tiles, org, d, tmin, tmax,
                                     active=sat, inst=inst)
             return (jnp.where(sat, h2.t, t),
                     jnp.where(sat, h2.prim_id, pid),
@@ -539,7 +541,7 @@ def _any_hit_pairs_raw(sbox, tiles, org, d, tmin, tmax, active=None,
     occ = occ[:num_r]
 
     if num_s > k_max:
-        from .pallas_stream import any_hit_sorted
+        from .pallas_stream import any_hit_stream
 
         # Saturated AND not already proven occluded within the K nearest.
         sat = (count[:num_r] > idx.shape[1]) & ~occ
@@ -547,7 +549,7 @@ def _any_hit_pairs_raw(sbox, tiles, org, d, tmin, tmax, active=None,
             sat = sat & active
 
         def fb(_):
-            occ2 = any_hit_sorted(sbox, tiles, org, d, tmin, tmax,
+            occ2 = any_hit_stream(sbox, tiles, org, d, tmin, tmax,
                                   active=sat, inst=inst)
             return occ | (sat & occ2)
 

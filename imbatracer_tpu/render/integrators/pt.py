@@ -343,28 +343,36 @@ def _pt_regen_megastep(scene, cam, frame, c, *, width, height, spp, max_len,
     perm_arr = (jnp.asarray(perm) if perm is not None
                 else jnp.arange(num_pixels, dtype=jnp.int32))
 
-    def step_body(s, c):
+    def step_body(s, carry):
         # ---- flush + regenerate dead lanes ---------------------------
-        # (`flush`/`reseed` are profiling knobs: False skips the film
-        # scatter / the whole reseed block to isolate their step cost —
-        # results are WRONG with either off.)
+        # Finished paths append their (pixel, radiance) to a per-step
+        # LOG ROW (a dynamic_update_slice — aliased in place) instead of
+        # scattering into the film: an in-loop scatter-add de-vectorises
+        # to ~13 ms/step where the same scatter outside the loop runs at
+        # memory speed (scripts/profile_regen.py); the whole log flushes
+        # in ONE scatter after the loop.
+        # (`flush`/`reseed` are profiling knobs: False skips the log
+        # write / the whole reseed block — results are WRONG either way.)
+        c, log_pix, log_rad = carry
         dead = ~c["active"]
         fl = dead & (c["lane_pixel"] >= 0)
         if flush:
-            film = c["film"].at[
-                jnp.where(fl, c["lane_pixel"], num_pixels)
-            ].add(jnp.where(fl[:, None], c["radiance"], 0.0), mode="drop")
-        else:
-            film = c["film"]
+            log_pix = jax.lax.dynamic_update_slice(
+                log_pix,
+                jnp.where(fl, c["lane_pixel"], -1)[None], (s, 0))
+            log_rad = jax.lax.dynamic_update_slice(
+                log_rad,
+                jnp.where(fl[:, None], c["radiance"], 0.0)[None],
+                (s, 0, 0))
 
         if not reseed:
             out = _pt_bounce(scene, c_strip(c), alpha_fn=alpha_fn,
                              has_bump=has_bump, max_len=max_len,
                              max_steps=max_steps)
-            out["film"] = film
+            out["film"] = c["film"]
             out["lane_pixel"] = c["lane_pixel"]
             out["next_id"] = c["next_id"]
-            return out
+            return out, log_pix, log_rad
 
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
         new_id = c["next_id"] + rank
@@ -394,17 +402,27 @@ def _pt_regen_megastep(scene, cam, frame, c, *, width, height, spp, max_len,
         )
         out = _pt_bounce(scene, cc, alpha_fn=alpha_fn, has_bump=has_bump,
                          max_len=max_len, max_steps=max_steps)
-        out["film"] = film
+        out["film"] = c["film"]
         out["lane_pixel"] = jnp.where(
             start, pid, jnp.where(fl, -1, c["lane_pixel"]))
         out["next_id"] = c["next_id"] + jnp.sum(start.astype(jnp.int32))
-        return out
+        return out, log_pix, log_rad
 
     def c_strip(c):
         return {k: v for k, v in c.items()
                 if k not in ("film", "lane_pixel", "next_id")}
 
-    return jax.lax.fori_loop(0, steps, step_body, c)
+    log_pix0 = jnp.full((steps, lanes), -1, jnp.int32)
+    log_rad0 = jnp.zeros((steps, lanes, 3), jnp.float32)
+    c, log_pix, log_rad = jax.lax.fori_loop(
+        0, steps, step_body, (c, log_pix0, log_rad0))
+    # One memory-speed scatter for every path the launch finished.
+    flat_pix = log_pix.reshape(-1)
+    c["film"] = c["film"].at[
+        jnp.where(flat_pix >= 0, flat_pix, num_pixels)
+    ].add(jnp.where((flat_pix >= 0)[:, None],
+                    log_rad.reshape(-1, 3), 0.0), mode="drop")
+    return c
 
 
 def render_pt_frame_regen(

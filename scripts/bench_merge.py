@@ -55,7 +55,9 @@ def main():
         int(k) for k in np.asarray(scene.materials.kind))))
     log(f"backend={jax.default_backend()} mat_kinds={mat_kinds}")
 
-    for size in (512, 1024):
+    sizes = ([int(a) for a in sys.argv[1:]] if len(sys.argv) > 1
+             else [512, 1024])
+    for size in sizes:
         settings = RenderSettings(width=size, height=size, algorithm="vcm",
                                   radius_factor=0.003)
         cam = camera_for_scene(meta, settings)
@@ -92,17 +94,12 @@ def main():
             f"window-W4 route total {t_w4 * 1e3:.1f} ms")
         log(f"[{size}] W=4 bias vs exact merge: "
             f"psnr={psnr(img_w4, img_ker):.1f} dB")
-        if size == 512:
-            # W=16 examines nearly every photon the exact walk does
-            # (W=64 at 512² OOMs the compiler: the windowed gather
-            # materialises (R, W, 16) records per cell).
-            img_w16, _ = run("window W=16", reps=0, merge_kernel=False,
-                             mpc=16)
-            d = np.abs(img_ker - img_w16)
-            rel = d / np.maximum(np.abs(img_w16), 1e-3)
-            log(f"[{size}] kernel vs W=16: max_abs={d.max():.3e} "
-                f"mean_abs={d.mean():.3e} p99_rel={np.percentile(rel, 99):.3e} "
-                f"psnr={psnr(img_ker, img_w16):.1f} dB")
+        # NB no wide-window correctness row: W>=16 at 512² OOMs the
+        # compiler (the windowed gather's (R, W, 16) temps pad 16->128
+        # lanes, 8x expansion).  The kernel's exactness is established
+        # by (a) the 99 dB kernel==W4 equivalence above (cells hold <=4
+        # photons at production radius, so W=4 IS the unbounded walk
+        # here) and (b) the brute-force interpreter tests.
 
 
 if __name__ == "__main__":
