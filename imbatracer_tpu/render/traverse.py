@@ -182,16 +182,19 @@ DENSE_MAX_TRIS = 1024
 ALPHA_ROUNDS = 4
 
 # Route incoherent (sort=True) stream dispatches through the pair-stream
-# kernel (ops/pallas_pairs.py).  ON since round 3: the sort-only queue
-# (one lax.sort in, one out, no scatters/segment ops) measures 3.0
-# Mrays/s scattered at 24k tris vs 1.5 for the Morton-sorted stream
-# path (scripts/bench_stream.py); exactness for top-K-saturated rays is
-# restored by a compacted stream fallback dispatch inside
-# closest_hit_pairs / any_hit_pairs.  Env override for A/B scripts:
-# IMBA_USE_PAIRS=0.
+# kernel (ops/pallas_pairs.py).  OFF by default after round-3 end-to-end
+# measurement: the sort-only queue + exact saturation fallback reaches
+# 1.9 Mrays/s scattered at 24k tris (vs 1.5 sorted-stream) on the
+# microbench, but real frames LOSE — the 48k-tri PT frame regressed
+# 2.6 -> 5.1 s/frame (bounce batches saturate the top-K cap, so most
+# dispatches pay the pair pipeline AND the stream fallback).  The
+# honest summary (docs/traversal.md): the queue rebuild made pairs
+# 2.2-2.6x faster than round 2, but exactness costs more than the
+# zero-divergence kernel saves at current saturation rates.
+# Env override for experiments: IMBA_USE_PAIRS=1.
 import os as _os
 
-USE_PAIRS = _os.environ.get("IMBA_USE_PAIRS", "1") != "0"
+USE_PAIRS = _os.environ.get("IMBA_USE_PAIRS", "0") == "1"
 
 # Below this super-chunk count the block-stream kernel's divergence is
 # bounded by the tiny candidate set and the pair queue's sorts cost more

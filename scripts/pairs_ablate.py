@@ -119,6 +119,19 @@ def main():
                           f"{type(e).__name__}", flush=True)
             pp.FIRST_K = True
 
+            # 1-pass vs 2-pass closest schedule.
+            for passes in (1, 2):
+                pp.PASSES = passes
+                try:
+                    dt = slope(s_e2e, org, d)
+                    print(f"  [{rname}] e2e closest (PASSES={passes}): "
+                          f"{dt*1e3:8.2f} ms -> {n/dt/1e6:6.1f} Mrays/s",
+                          flush=True)
+                except Exception as e:
+                    print(f"  [{rname}] e2e PASSES={passes}: FAILED "
+                          f"{type(e).__name__}", flush=True)
+            pp.PASSES = 1
+
             for name, fn, args in (
                 ("candidates", s_cand, (rays8t,)),
                 ("queue sort", s_queue, (idx, rays8)),
