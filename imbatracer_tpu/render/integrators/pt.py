@@ -22,6 +22,7 @@ and the shard_map multi-chip path (parallel/shard.py) both call it.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -81,10 +82,23 @@ def trace_paths(
     reference's schedulers report (tile_scheduler.h:59-61).
     """
     alpha_fn = alpha_fn_for(scene) if has_masks else None
+    carry = _init_carry(org, d, state)
 
-    # Inits derived from inputs so they stay device-varying under shard_map.
+    def bounce_body(i, c):
+        return _pt_bounce(scene, c, alpha_fn=alpha_fn, has_bump=has_bump,
+                          max_len=max_len, max_steps=max_steps)
+
+    out = jax.lax.fori_loop(0, max_len, bounce_body, carry)
+    if with_stats:
+        return out["radiance"], out["n_rays"]
+    return out["radiance"]
+
+
+def _init_carry(org, d, state):
+    """PT bounce-loop carry. Inits derived from inputs so they stay
+    device-varying under shard_map."""
     zeros1 = jnp.zeros_like(org[:, 0])
-    carry = dict(
+    return dict(
         org=org,
         d=d,
         tmin=zeros1,
@@ -97,15 +111,6 @@ def trace_paths(
         state=state,
         n_rays=jnp.sum(jnp.zeros_like(org[:1, 0], dtype=jnp.int32)),
     )
-
-    def bounce_body(i, c):
-        return _pt_bounce(scene, c, alpha_fn=alpha_fn, has_bump=has_bump,
-                          max_len=max_len, max_steps=max_steps)
-
-    out = jax.lax.fori_loop(0, max_len, bounce_body, carry)
-    if with_stats:
-        return out["radiance"], out["n_rays"]
-    return out["radiance"]
 
 
 def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps):
@@ -312,6 +317,176 @@ def _pt_band(
 # million-ray frame graphs over large BVHs exhaust device memory).
 BAND_RAYS = 1 << 18
 
+# ---------------------------------------------------------------------------
+# Mid-frame lane compaction (the reference's RayQueue::compact,
+# ray_queue.h:161-207, recast for fixed-shape dispatch): the lockstep
+# megastep pays full per-bounce cost for every lane while Russian
+# roulette and emitter hits kill most paths within a few bounces
+# (measured ~27% mean lane utilisation on cornell at max_len=10).  After
+# `IMBA_PT_COMPACT_DEPTH` bounces the per-band carries are merged, lanes
+# are stably sorted dead-last (one lax.sort over the ~19 carry columns —
+# sub-frame cost, see CLAUDE.md sort numbers), and only the first
+# ceil(alive / BAND_RAYS) bands keep bouncing.  Per-lane math (RNG state
+# rides with the lane) is bit-identical to the banded renderer; only the
+# film summation order changes (one scatter-add at frame end instead of
+# per-band reshape-sums).  One host sync per frame reads the alive count
+# to pick the phase-2 band count.
+# ---------------------------------------------------------------------------
+
+# Columns of the carry that ride through the compaction sort.
+_COMPACT_F32 = ("tmin", "last_pdf")
+_COMPACT_F32_3 = ("org", "d", "throughput", "radiance")
+_COMPACT_BOOL = ("active", "last_specular")
+_COMPACT_I32 = ("depth",)
+
+
+def compact_depth(max_len: int) -> int:
+    d = int(os.environ.get("IMBA_PT_COMPACT_DEPTH", "2"))
+    return max(1, min(d, max_len - 1))
+
+
+def _use_compact(num_bands: int, max_len: int) -> bool:
+    mode = os.environ.get("IMBA_PT_COMPACT", "auto")
+    if mode == "0" or num_bands <= 1 or max_len < 2:
+        return False
+    return mode == "1" or jax.default_backend() == "tpu"
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_len", "has_masks",
+                     "has_bump", "max_steps", "band_pixels", "bounces"),
+)
+def _pt_phase1(
+    scene, cam, frame, start_pixel, *, width, height, spp, max_len,
+    has_masks, has_bump, max_steps, band_pixels, bounces,
+):
+    """Camera rays + the first `bounces` PT bounces of one pixel band;
+    returns the live carry and the per-lane pixel ids."""
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+    org, d, state, pixel_id = camera_rays(
+        cam, width, height, spp, frame, start_pixel=start_pixel,
+        count=band_pixels,
+    )
+    c = _init_carry(org, d, state)
+
+    def body(i, cc):
+        return _pt_bounce(scene, cc, alpha_fn=alpha_fn, has_bump=has_bump,
+                          max_len=max_len, max_steps=max_steps)
+
+    return jax.lax.fori_loop(0, bounces, body, c), pixel_id
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_len", "has_masks", "has_bump", "max_steps",
+                     "bounces"),
+)
+def _pt_phase2(scene, c, *, max_len, has_masks, has_bump, max_steps, bounces):
+    """Continue a (compacted) carry for the remaining `bounces`; the
+    bounce body is depth-per-lane so mixed-progress lanes are fine."""
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+
+    def body(i, cc):
+        return _pt_bounce(scene, cc, alpha_fn=alpha_fn, has_bump=has_bump,
+                          max_len=max_len, max_steps=max_steps)
+
+    return jax.lax.fori_loop(0, bounces, body, c)
+
+
+@jax.jit
+def _compact_carry(c, pixel_id):
+    """Stable-sort all carry lanes dead-last.  One multi-operand lax.sort
+    (key + every carry column + pixel id) — no per-column gathers.
+    Returns (sorted carry, sorted pixel ids, alive count)."""
+    key = (~c["active"]).astype(jnp.int32)
+    ops = [key]
+    for name in _COMPACT_F32_3:
+        a = c[name].T
+        ops += [a[0], a[1], a[2]]
+    for name in _COMPACT_F32:
+        ops.append(c[name])
+    for name in _COMPACT_BOOL:
+        ops.append(c[name].astype(jnp.int32))
+    for name in _COMPACT_I32:
+        ops.append(c[name])
+    ops.append(c["state"])
+    ops.append(pixel_id)
+    out = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
+    i = 1
+    sc = {}
+    for name in _COMPACT_F32_3:
+        sc[name] = jnp.stack(out[i:i + 3], axis=1)
+        i += 3
+    for name in _COMPACT_F32:
+        sc[name] = out[i]
+        i += 1
+    for name in _COMPACT_BOOL:
+        sc[name] = out[i] > 0
+        i += 1
+    for name in _COMPACT_I32:
+        sc[name] = out[i]
+        i += 1
+    sc["state"] = out[i]
+    sorted_pix = out[i + 1]
+    return sc, sorted_pix, jnp.sum(c["active"].astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("num_pixels",))
+def _scatter_film(pid, rad, *, num_pixels):
+    return jnp.zeros((num_pixels, 3), rad.dtype).at[pid].add(rad)
+
+
+def _render_pt_frame_compact(
+    scene, cam, frame, width, height, spp, max_len, has_masks, has_bump,
+    with_stats, max_steps, band,
+):
+    num_pixels = width * height
+    depth0 = compact_depth(max_len)
+    kw = dict(width=width, height=height, spp=spp, max_len=max_len,
+              has_masks=has_masks, has_bump=has_bump, max_steps=max_steps)
+
+    carries, pixel_ids, n_rays = [], [], []
+    for start in range(0, num_pixels, band):
+        bp = min(band, num_pixels - start)
+        c, pid = _pt_phase1(scene, cam, frame, jnp.int32(start),
+                            band_pixels=bp, bounces=depth0, **kw)
+        n_rays.append(c.pop("n_rays"))
+        carries.append(c)
+        pixel_ids.append(pid)
+    merged = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *carries)
+    pix = jnp.concatenate(pixel_ids, axis=0)
+    sc, pix, alive = _compact_carry(merged, pix)
+
+    lanes = pix.shape[0]
+    band_lanes = band * spp
+    n_alive = int(alive)  # the one host sync: picks the phase-2 band count
+    n_bands2 = -(-n_alive // band_lanes) if n_alive else 0
+
+    rad_parts, done = [], 0
+    for k in range(n_bands2):
+        end = min(done + band_lanes, lanes)
+        ck = jax.tree_util.tree_map(lambda a: a[done:end], sc)
+        ck["n_rays"] = jnp.zeros((), jnp.int32)
+        out = _pt_phase2(scene, ck, max_len=max_len, has_masks=has_masks,
+                         has_bump=has_bump, max_steps=max_steps,
+                         bounces=max_len - depth0)
+        n_rays.append(out.pop("n_rays"))
+        rad_parts.append(out["radiance"])
+        done = end
+    if done < lanes:
+        rad_parts.append(sc["radiance"][done:])
+    rad = rad_parts[0] if len(rad_parts) == 1 else jnp.concatenate(
+        rad_parts, axis=0)
+    film = _scatter_film(pix, rad, num_pixels=num_pixels)
+    if with_stats:
+        stats = n_rays[0]
+        for n in n_rays[1:]:
+            stats = stats + n
+        return film, stats
+    return film
+
 # Regenerated-wavefront tuning: assumed mean path length (steps per
 # megastep launch = ceil(total_paths * REGEN_EST_BOUNCES / lanes)); only
 # affects how often the host checks for completion, never correctness.
@@ -506,6 +681,12 @@ def render_pt_frame(
     frame = jnp.asarray(frame, jnp.uint32)
     num_pixels = width * height
     band = max(1, BAND_RAYS // max(spp, 1))
+    num_bands = -(-num_pixels // band)
+    if _use_compact(num_bands, max_len):
+        return _render_pt_frame_compact(
+            scene, cam, frame, width, height, spp, max_len, has_masks,
+            has_bump, with_stats, max_steps, band,
+        )
     parts = []
     stats = jnp.zeros((), jnp.int32)
     for start in range(0, num_pixels, band):

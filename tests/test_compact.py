@@ -1,0 +1,51 @@
+"""Mid-frame lane compaction (pt._render_pt_frame_compact) vs the plain
+banded renderer: identical per-path estimator (RNG rides with the lane),
+film differs only by summation order."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imbatracer_tpu.render.camera import make_camera
+from imbatracer_tpu.render.integrators import pt as pt_mod
+from imbatracer_tpu.scene.procedural import make_cornell_scene
+
+
+def _pair(size, spp, lanes, max_len=5, depth0=2, monkeypatch=None):
+    scene, meta = make_cornell_scene()
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size,
+                      60.0)
+    monkeypatch.setenv("IMBA_PT_COMPACT", "0")
+    a, na = pt_mod.render_pt_frame(
+        scene, cam, jnp.uint32(0), size, size, spp=spp, max_len=max_len,
+        with_stats=True)
+    monkeypatch.setenv("IMBA_PT_COMPACT", "1")
+    monkeypatch.setenv("IMBA_PT_COMPACT_DEPTH", str(depth0))
+    monkeypatch.setattr(pt_mod, "BAND_RAYS", lanes)
+    b, nb = pt_mod.render_pt_frame(
+        scene, cam, jnp.uint32(0), size, size, spp=spp, max_len=max_len,
+        with_stats=True)
+    return np.asarray(a), np.asarray(b), int(na), int(nb)
+
+
+def test_compact_matches_banded(monkeypatch):
+    """Multiple phase-1 bands, phase-2 narrower than phase 1."""
+    a, b, na, nb = _pair(size=48, spp=1, lanes=512, monkeypatch=monkeypatch)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert na == nb  # same per-path ray sets, exactly
+
+
+def test_compact_matches_banded_spp(monkeypatch):
+    a, b, na, nb = _pair(size=24, spp=3, lanes=640, monkeypatch=monkeypatch)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert na == nb
+
+
+def test_compact_deep_checkpoint(monkeypatch):
+    """depth0 close to max_len (phase 2 nearly empty)."""
+    a, b, na, nb = _pair(size=32, spp=1, lanes=512, max_len=4, depth0=3,
+                         monkeypatch=monkeypatch)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert na == nb
