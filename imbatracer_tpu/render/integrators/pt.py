@@ -333,23 +333,23 @@ BAND_RAYS = 1 << 18
 # to pick the phase-2 band count.
 # ---------------------------------------------------------------------------
 
-# Columns of the carry that ride through the compaction sort.
-_COMPACT_F32 = ("tmin", "last_pdf")
-_COMPACT_F32_3 = ("org", "d", "throughput", "radiance")
-_COMPACT_BOOL = ("active", "last_specular")
-_COMPACT_I32 = ("depth",)
-
-
 def compact_depth(max_len: int) -> int:
     d = int(os.environ.get("IMBA_PT_COMPACT_DEPTH", "2"))
     return max(1, min(d, max_len - 1))
 
 
 def _use_compact(num_bands: int, max_len: int) -> bool:
-    mode = os.environ.get("IMBA_PT_COMPACT", "auto")
-    if mode == "0" or num_bands <= 1 or max_len < 2:
+    """Opt-in (IMBA_PT_COMPACT=1) — measured SLOWER than plain banding on
+    the cornell dense-mode frame (226 ms banded vs 283-411 ms at
+    depth 4..1, scripts/profile_compact.py): the phase-1/phase-2 split
+    doubles dispatch count and the big multi-operand sort + scatter-film
+    epilogue cost more than the skipped dead-lane bounces save on a
+    cheap-per-bounce scene.  Kept as a route for expensive-per-bounce
+    passes (VCM merge) where the economics differ."""
+    mode = os.environ.get("IMBA_PT_COMPACT", "0")
+    if mode != "1" or num_bands <= 1 or max_len < 2:
         return False
-    return mode == "1" or jax.default_backend() == "tpu"
+    return True
 
 
 @partial(
@@ -398,38 +398,35 @@ def _pt_phase2(scene, c, *, max_len, has_masks, has_bump, max_steps, bounces):
 def _compact_carry(c, pixel_id):
     """Stable-sort all carry lanes dead-last.  One multi-operand lax.sort
     (key + every carry column + pixel id) — no per-column gathers.
-    Returns (sorted carry, sorted pixel ids, alive count)."""
+    Shape/dtype-introspective so any lockstep wavefront carry (PT's, the
+    VCM camera pass's) compacts through the same sort.  Returns
+    (sorted carry, sorted pixel ids, alive count)."""
     key = (~c["active"]).astype(jnp.int32)
-    ops = [key]
-    for name in _COMPACT_F32_3:
-        a = c[name].T
-        ops += [a[0], a[1], a[2]]
-    for name in _COMPACT_F32:
-        ops.append(c[name])
-    for name in _COMPACT_BOOL:
-        ops.append(c[name].astype(jnp.int32))
-    for name in _COMPACT_I32:
-        ops.append(c[name])
-    ops.append(c["state"])
+    ops, spec = [key], []
+    for name in sorted(c.keys()):
+        a = c[name]
+        if a.ndim == 2:
+            at = a.T
+            for j in range(a.shape[1]):
+                ops.append(at[j])
+            spec.append((name, a.shape[1], None))
+        elif a.dtype == jnp.bool_:
+            ops.append(a.astype(jnp.int32))
+            spec.append((name, 0, jnp.bool_))
+        else:
+            ops.append(a)
+            spec.append((name, 0, None))
     ops.append(pixel_id)
     out = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
-    i = 1
-    sc = {}
-    for name in _COMPACT_F32_3:
-        sc[name] = jnp.stack(out[i:i + 3], axis=1)
-        i += 3
-    for name in _COMPACT_F32:
-        sc[name] = out[i]
-        i += 1
-    for name in _COMPACT_BOOL:
-        sc[name] = out[i] > 0
-        i += 1
-    for name in _COMPACT_I32:
-        sc[name] = out[i]
-        i += 1
-    sc["state"] = out[i]
-    sorted_pix = out[i + 1]
-    return sc, sorted_pix, jnp.sum(c["active"].astype(jnp.int32))
+    i, sc = 1, {}
+    for name, ncol, cast in spec:
+        if ncol:
+            sc[name] = jnp.stack(out[i:i + ncol], axis=1)
+            i += ncol
+        else:
+            sc[name] = out[i] > 0 if cast is jnp.bool_ else out[i]
+            i += 1
+    return sc, out[i], jnp.sum(c["active"].astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("num_pixels",))
@@ -461,8 +458,15 @@ def _render_pt_frame_compact(
 
     lanes = pix.shape[0]
     band_lanes = band * spp
-    n_alive = int(alive)  # the one host sync: picks the phase-2 band count
-    n_bands2 = -(-n_alive // band_lanes) if n_alive else 0
+    forced_k = os.environ.get("IMBA_PT_COMPACT_K", "")
+    if forced_k:
+        # Measurement knob: skip the alive-count host sync and run a fixed
+        # phase-2 band count.  EXACT ONLY IF alive <= K*band_lanes — for
+        # profiling the sync cost, not a production default.
+        n_bands2 = min(int(forced_k), -(-lanes // band_lanes))
+    else:
+        n_alive = int(alive)  # the one host sync: picks the phase-2 band count
+        n_bands2 = -(-n_alive // band_lanes) if n_alive else 0
 
     rad_parts, done = [], 0
     for k in range(n_bands2):

@@ -336,21 +336,14 @@ def debug_light_pass(scene, cam: Camera, frame, base_radius, *,
 #  Camera pass
 # ======================================================================
 
-def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
-                 mis_eta_vc, mis_eta_vm, *, algo, width, height, spp, max_len,
-                 light_path_count, num_connections, num_knn, table_size,
-                 max_per_cell, has_masks, has_bump, alpha_fn, max_steps=0,
-                 techniques=TECHNIQUES, start_pixel=0, band_pixels=0,
-                 mat_kinds=None):
+def _camera_carry_init(scene, cam, frame, *, width, height, spp,
+                       light_path_count, start_pixel=0, band_pixels=0):
+    """Primary-ray carry for the camera pass; returns (carry, pixel_id)."""
     num_pixels = band_pixels if band_pixels > 0 else width * height
-    num_lights = scene.lights.kind.shape[0]
-    # Wide-record view of the vertex cache: one gather per vertex access.
-    cache_rec = cache.packed() if cache is not None else None
     org, d, state, pixel_id = camera_rays(
         cam, width, height, spp, frame, start_pixel=start_pixel,
         count=num_pixels,
     )
-    num_rays = org.shape[0]
 
     # dVCM init: pixel pdf converted to solid angle (vcm.cpp:120-129).
     cos_o = dot(d, cam.forward)
@@ -371,6 +364,20 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
         d_vc=zero1, d_vcm=d_vcm0 + fz, d_vm=zero1,
         state=state,
     )
+    return carry, pixel_id
+
+
+def _camera_body_fn(scene, cache, grid, pm_radius, base_radius, mis_eta_vc,
+                    mis_eta_vm, *, algo, max_len, light_path_count,
+                    num_connections, num_knn, table_size, max_per_cell,
+                    has_bump, alpha_fn, max_steps, techniques, mat_kinds):
+    """One camera-pass bounce as a fori_loop body (i, carry) -> carry.
+    Lanes stay lockstep (every live lane is at depth i), so the same body
+    drives both the plain megastep and the compacted two-phase schedule
+    (pt.py mid-frame compaction)."""
+    num_lights = scene.lights.kind.shape[0]
+    # Wide-record view of the vertex cache: one gather per vertex access.
+    cache_rec = cache.packed() if cache is not None else None
 
     def body(i, c):
         hit = closest_hit(scene.bvh, c["org"], c["d"], c["tmin"], BIG,
@@ -500,6 +507,29 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
                     radiance=radiance, active=active, d_vc=d_vc, d_vcm=d_vcm,
                     d_vm=d_vm, state=st)
 
+    return body
+
+
+def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
+                 mis_eta_vc, mis_eta_vm, *, algo, width, height, spp, max_len,
+                 light_path_count, num_connections, num_knn, table_size,
+                 max_per_cell, has_masks, has_bump, alpha_fn, max_steps=0,
+                 techniques=TECHNIQUES, start_pixel=0, band_pixels=0,
+                 mat_kinds=None):
+    num_pixels = band_pixels if band_pixels > 0 else width * height
+    carry, _ = _camera_carry_init(
+        scene, cam, frame, width=width, height=height, spp=spp,
+        light_path_count=light_path_count, start_pixel=start_pixel,
+        band_pixels=band_pixels,
+    )
+    body = _camera_body_fn(
+        scene, cache, grid, pm_radius, base_radius, mis_eta_vc, mis_eta_vm,
+        algo=algo, max_len=max_len, light_path_count=light_path_count,
+        num_connections=num_connections, num_knn=num_knn,
+        table_size=table_size, max_per_cell=max_per_cell, has_bump=has_bump,
+        alpha_fn=alpha_fn, max_steps=max_steps, techniques=techniques,
+        mat_kinds=mat_kinds,
+    )
     out = jax.lax.fori_loop(0, max_len, body, carry)
     # pixel_id is a static tile-order permutation of arange(P) tiled by
     # spp: un-permute + reshape+sum instead of a scatter (see pt.camera_rays).
@@ -779,6 +809,113 @@ def _vcm_camera_band(scene, cam, frame, cache, grid, base_radius, *, algo,
 BAND_RAYS = 1 << 18
 
 
+_CAM_STATICS = (
+    "algo", "width", "height", "spp", "max_len", "light_path_count",
+    "num_connections", "num_knn", "table_size", "max_per_cell", "has_masks",
+    "has_bump", "max_steps", "techniques", "band_pixels", "mat_kinds",
+    "bounces",
+)
+
+
+@partial(jax.jit, static_argnames=_CAM_STATICS)
+def _vcm_camera_phase1(scene, cam, frame, cache, grid, base_radius, *, algo,
+                       width, height, spp, max_len, light_path_count,
+                       num_connections, num_knn, table_size, max_per_cell,
+                       has_masks, has_bump, max_steps, techniques,
+                       start_pixel, band_pixels, mat_kinds, bounces):
+    """Camera rays + the first `bounces` camera-pass bounces of one band
+    (the compaction phase 1; see pt.py mid-frame compaction)."""
+    pm_radius, mis_eta_vc, mis_eta_vm = _mis_constants(
+        frame, base_radius, light_path_count, algo
+    )
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+    carry, pixel_id = _camera_carry_init(
+        scene, cam, frame, width=width, height=height, spp=spp,
+        light_path_count=light_path_count, start_pixel=start_pixel,
+        band_pixels=band_pixels,
+    )
+    body = _camera_body_fn(
+        scene, cache, grid, pm_radius, base_radius, mis_eta_vc, mis_eta_vm,
+        algo=algo, max_len=max_len, light_path_count=light_path_count,
+        num_connections=num_connections, num_knn=num_knn,
+        table_size=table_size, max_per_cell=max_per_cell, has_bump=has_bump,
+        alpha_fn=alpha_fn, max_steps=max_steps, techniques=techniques,
+        mat_kinds=mat_kinds,
+    )
+    return jax.lax.fori_loop(0, bounces, body, carry), pixel_id
+
+
+@partial(jax.jit, static_argnames=_CAM_STATICS)
+def _vcm_camera_phase2(scene, frame, cache, grid, base_radius, c, *, algo,
+                       width, height, spp, max_len, light_path_count,
+                       num_connections, num_knn, table_size, max_per_cell,
+                       has_masks, has_bump, max_steps, techniques,
+                       band_pixels, mat_kinds, bounces):
+    """Bounces [bounces, max_len) on a compacted carry.  Lanes are
+    lockstep (all live lanes at depth `bounces`), so the fori index keeps
+    its meaning for the MIS first-vertex terms and cam_path_length."""
+    pm_radius, mis_eta_vc, mis_eta_vm = _mis_constants(
+        frame, base_radius, light_path_count, algo
+    )
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+    body = _camera_body_fn(
+        scene, cache, grid, pm_radius, base_radius, mis_eta_vc, mis_eta_vm,
+        algo=algo, max_len=max_len, light_path_count=light_path_count,
+        num_connections=num_connections, num_knn=num_knn,
+        table_size=table_size, max_per_cell=max_per_cell, has_bump=has_bump,
+        alpha_fn=alpha_fn, max_steps=max_steps, techniques=techniques,
+        mat_kinds=mat_kinds,
+    )
+    return jax.lax.fori_loop(bounces, max_len, body, c)
+
+
+def _camera_pass_compact(scene, cam, frame, cache, grid, base_radius, *,
+                         algo, width, height, spp, max_len, band, **kw):
+    """Banded camera pass with mid-frame lane compaction (pt.py): phase-1
+    bands trace `compact_depth` bounces, lanes sort dead-last, and only
+    ceil(alive / band) bands run the remaining bounces.  Identical
+    per-lane estimator; film summation order differs (one scatter-add)."""
+    from .pt import _compact_carry, _scatter_film, compact_depth
+
+    num_pixels = width * height
+    depth0 = compact_depth(max_len)
+    carries, pixel_ids = [], []
+    for start in range(0, num_pixels, band):
+        bp = min(band, num_pixels - start)
+        c, pid = _vcm_camera_phase1(
+            scene, cam, frame, cache, grid, base_radius, algo=algo,
+            width=width, height=height, spp=spp, max_len=max_len,
+            start_pixel=jnp.int32(start), band_pixels=bp, bounces=depth0,
+            **kw)
+        carries.append(c)
+        pixel_ids.append(pid)
+    merged = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *carries)
+    pix = jnp.concatenate(pixel_ids, axis=0)
+    sc, pix, alive = _compact_carry(merged, pix)
+
+    lanes = pix.shape[0]
+    band_lanes = band * spp
+    n_alive = int(alive)  # one host sync: picks the phase-2 band count
+    n_bands2 = -(-n_alive // band_lanes) if n_alive else 0
+
+    rad_parts, done = [], 0
+    for k in range(n_bands2):
+        end = min(done + band_lanes, lanes)
+        ck = jax.tree_util.tree_map(lambda a: a[done:end], sc)
+        out = _vcm_camera_phase2(
+            scene, frame, cache, grid, base_radius, ck, algo=algo,
+            width=width, height=height, spp=spp, max_len=max_len,
+            band_pixels=end - done, bounces=depth0, **kw)
+        rad_parts.append(out["radiance"])
+        done = end
+    if done < lanes:
+        rad_parts.append(sc["radiance"][done:])
+    rad = rad_parts[0] if len(rad_parts) == 1 else jnp.concatenate(
+        rad_parts, axis=0)
+    return _scatter_film(pix, rad, num_pixels=num_pixels)
+
+
 def render_vcm_frame(
     scene,
     cam: Camera,
@@ -858,7 +995,21 @@ def render_vcm_frame(
             )
 
     if algo != "lt":
+        from .pt import _use_compact
+
         band = max(1, BAND_RAYS // max(spp, 1))
+        num_bands = -(-num_pixels // band)
+        if _use_compact(num_bands, max_len):
+            film = film + _camera_pass_compact(
+                scene, cam, frame, cache, grid, base_radius, algo=algo,
+                width=width, height=height, spp=spp, max_len=max_len,
+                band=band, light_path_count=light_path_count,
+                num_connections=num_connections, num_knn=num_knn,
+                table_size=table_size, max_per_cell=max_per_cell,
+                has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
+                techniques=techniques, mat_kinds=mat_kinds,
+            )
+            return film
         parts = []
         for start in range(0, num_pixels, band):
             bp = min(band, num_pixels - start)

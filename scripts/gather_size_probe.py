@@ -26,10 +26,17 @@ def gather_chain(table, idx0, *, steps):
     def body(i, carry):
         acc, idx = carry
         rows = table[idx]                      # (R, COLS) row gather
-        acc = acc + jnp.tanh(rows.sum(axis=1))  # nonlinear consume
-        # new data-dependent indices so steps can't fuse/CSE away
-        idx = (idx * jnp.uint32(1664525) + jnp.uint32(1013904223)
-               + i.astype(jnp.uint32)) % jnp.uint32(table.shape[0])
+        # Step-varying column weights + index fed from the gathered data:
+        # a plain rows.sum(1) is a loop-invariant row-sum XLA hoists into
+        # ONE pre-pass over the table (measured ~0 ms/step) — the full
+        # row must flow into both the accumulator and the next indices.
+        w = jnp.cos(jnp.arange(COLS, dtype=table.dtype) * (i + 1.0))
+        v = rows @ w
+        acc = acc + jnp.tanh(v)
+        idx = (idx * jnp.uint32(1664525)
+               + jax.lax.bitcast_convert_type(
+                   v.astype(jnp.float32), jnp.uint32)
+               ) % jnp.uint32(table.shape[0])
         return acc, idx
     acc, _ = jax.lax.fori_loop(0, steps, body,
                                (jnp.zeros((R,), table.dtype), idx0))

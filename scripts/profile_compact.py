@@ -50,11 +50,33 @@ def main():
     ms, mrays = run(scene, meta, cam, size, max_steps)
     print(f"banded (no compact): {ms:8.1f} ms/frame  {mrays:6.2f} Mrays/s")
 
+    B = pt_mod.BAND_RAYS
     os.environ["IMBA_PT_COMPACT"] = "1"
-    for d in (1, 2, 3, 4):
+    for d in (2, 3, 4, 5, 6):
         os.environ["IMBA_PT_COMPACT_DEPTH"] = str(d)
+        alive = alive_after(scene, meta, cam, size, max_steps, d)
+        k = -(-alive // B)
+        os.environ.pop("IMBA_PT_COMPACT_K", None)
         ms, mrays = run(scene, meta, cam, size, max_steps)
-        print(f"compact depth={d}:    {ms:8.1f} ms/frame  {mrays:6.2f} Mrays/s")
+        os.environ["IMBA_PT_COMPACT_K"] = str(k)
+        ms2, mrays2 = run(scene, meta, cam, size, max_steps)
+        print(f"compact d={d}: alive {alive/(size*size):5.1%} K={k}  "
+              f"synced {ms:7.1f} ms {mrays:6.2f} Mr/s | "
+              f"forced-K {ms2:7.1f} ms {mrays2:6.2f} Mr/s")
+    os.environ.pop("IMBA_PT_COMPACT_K", None)
+
+
+def alive_after(scene, meta, cam, size, max_steps, d):
+    import jax.numpy as jnp
+    tot = 0
+    for start in range(0, size * size, pt_mod.BAND_RAYS):
+        bp = min(pt_mod.BAND_RAYS, size * size - start)
+        c, _ = pt_mod._pt_phase1(
+            scene, cam, jnp.uint32(1), jnp.int32(start), width=size,
+            height=size, spp=1, max_len=10, has_masks=meta.has_masks,
+            has_bump=False, max_steps=max_steps, band_pixels=bp, bounces=d)
+        tot += int(c["active"].sum())
+    return tot
 
 
 if __name__ == "__main__":

@@ -43,6 +43,28 @@ def test_compact_matches_banded_spp(monkeypatch):
     assert na == nb
 
 
+def test_vcm_camera_compact_matches_banded(monkeypatch):
+    """The VCM camera pass through the same compaction (merge + connect
+    + NEE in phase 2, cache/grid threading)."""
+    from imbatracer_tpu.render.integrators import vcm as vcm_mod
+
+    scene, meta = make_cornell_scene()
+    size = 32
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size,
+                      60.0)
+    kw = dict(algo="vcm", width=size, height=size, spp=1, max_len=4,
+              light_path_count=256)
+    monkeypatch.setenv("IMBA_PT_COMPACT", "0")
+    a = np.asarray(vcm_mod.render_vcm_frame(
+        scene, cam, jnp.uint32(0), 5e-3, **kw))
+    monkeypatch.setenv("IMBA_PT_COMPACT", "1")
+    monkeypatch.setattr(vcm_mod, "BAND_RAYS", 512)
+    b = np.asarray(vcm_mod.render_vcm_frame(
+        scene, cam, jnp.uint32(0), 5e-3, **kw))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 def test_compact_deep_checkpoint(monkeypatch):
     """depth0 close to max_len (phase 2 nearly empty)."""
     a, b, na, nb = _pair(size=32, spp=1, lanes=512, max_len=4, depth0=3,
