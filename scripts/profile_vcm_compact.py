@@ -40,7 +40,9 @@ def main():
     scene, meta = build_scene(
         "/root/reference/test/scenes/cornell/cornell_specular.scene")
     print("backend", jax.default_backend(), "mode", scene.bvh.mode)
-    for size in (512, 1024):
+    # 512^2 @ spp=1 fits one 2^18 band -> _use_compact is a no-op there;
+    # only 1024^2 (4 bands) exercises the compaction economics.
+    for size in (1024,):
         os.environ["IMBA_PT_COMPACT"] = "0"
         ms0, c0 = run(scene, meta, size)
         line = f"[{size}] banded : {ms0:8.1f} ms/frame (compile {c0:.0f}s)"
