@@ -130,7 +130,12 @@ def run_one(name, scene_path, golden, algo, width, height, extra, seconds,
         row["psnr"] = round(psnr(img, ref), 2)
     if converge_rmse > 0:
         row["converged_at"] = converged_at
-        row["gate"] = "PASS" if converged_at != "" else "FAIL"
+        # No golden -> nothing to converge against: mark SKIP, not FAIL
+        # (cornell_instances has no reference image).
+        if ref is None:
+            row["gate"] = "SKIP"
+        else:
+            row["gate"] = "PASS" if converged_at != "" else "FAIL"
     return row
 
 
