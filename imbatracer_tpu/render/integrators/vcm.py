@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -809,6 +811,25 @@ def _vcm_camera_band(scene, cam, frame, cache, grid, base_radius, *, algo,
 BAND_RAYS = 1 << 18
 
 
+def _use_vcm_compact(num_bands: int, max_len: int) -> bool:
+    """Camera-pass compaction defaults ON for the VCM family on TPU —
+    unlike PT (pt._use_compact), where it measured slower.  VCM bounces
+    are expensive enough (NEE + connections + merge, ~57 ms per 262k-lane
+    unit at 1024²) that skipping RR-killed lanes wins: cornell_specular
+    1024² measured 11.62 s banded vs 9.71 s compacted at depth 4
+    (scripts/profile_vcm_compact.py, monotonic d=2..4).  Override with
+    IMBA_VCM_COMPACT=0/1."""
+    mode = os.environ.get("IMBA_VCM_COMPACT", "auto")
+    if mode == "0" or num_bands <= 1 or max_len < 2:
+        return False
+    return mode == "1" or jax.default_backend() == "tpu"
+
+
+def vcm_compact_depth(max_len: int) -> int:
+    d = int(os.environ.get("IMBA_VCM_COMPACT_DEPTH", "4"))
+    return max(1, min(d, max_len - 1))
+
+
 _CAM_STATICS = (
     "algo", "width", "height", "spp", "max_len", "light_path_count",
     "num_connections", "num_knn", "table_size", "max_per_cell", "has_masks",
@@ -872,13 +893,13 @@ def _vcm_camera_phase2(scene, frame, cache, grid, base_radius, c, *, algo,
 def _camera_pass_compact(scene, cam, frame, cache, grid, base_radius, *,
                          algo, width, height, spp, max_len, band, **kw):
     """Banded camera pass with mid-frame lane compaction (pt.py): phase-1
-    bands trace `compact_depth` bounces, lanes sort dead-last, and only
-    ceil(alive / band) bands run the remaining bounces.  Identical
+    bands trace `vcm_compact_depth` bounces, lanes sort dead-last, and
+    only ceil(alive / band) bands run the remaining bounces.  Identical
     per-lane estimator; film summation order differs (one scatter-add)."""
-    from .pt import _compact_carry, _scatter_film, compact_depth
+    from .pt import _compact_carry, _scatter_film
 
     num_pixels = width * height
-    depth0 = compact_depth(max_len)
+    depth0 = vcm_compact_depth(max_len)
     carries, pixel_ids = [], []
     for start in range(0, num_pixels, band):
         bp = min(band, num_pixels - start)
@@ -995,11 +1016,9 @@ def render_vcm_frame(
             )
 
     if algo != "lt":
-        from .pt import _use_compact
-
         band = max(1, BAND_RAYS // max(spp, 1))
         num_bands = -(-num_pixels // band)
-        if _use_compact(num_bands, max_len):
+        if _use_vcm_compact(num_bands, max_len):
             film = film + _camera_pass_compact(
                 scene, cam, frame, cache, grid, base_radius, algo=algo,
                 width=width, height=height, spp=spp, max_len=max_len,

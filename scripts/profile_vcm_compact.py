@@ -43,17 +43,19 @@ def main():
     # 512^2 @ spp=1 fits one 2^18 band -> _use_compact is a no-op there;
     # only 1024^2 (4 bands) exercises the compaction economics.
     for size in (1024,):
-        os.environ["IMBA_PT_COMPACT"] = "0"
+        os.environ["IMBA_VCM_COMPACT"] = "0"
         ms0, c0 = run(scene, meta, size)
         line = f"[{size}] banded : {ms0:8.1f} ms/frame (compile {c0:.0f}s)"
         print(line, flush=True)
-        os.environ["IMBA_PT_COMPACT"] = "1"
-        for d in (2, 3, 4):
-            os.environ["IMBA_PT_COMPACT_DEPTH"] = str(d)
+        # Measured 2026-08-17: banded 11622 / d=2 11643 / d=3 10418 /
+        # d=4 9705 ms.  Sweep continues past the first minimum hunt.
+        os.environ["IMBA_VCM_COMPACT"] = "1"
+        for d in (4, 5, 6, 7):
+            os.environ["IMBA_VCM_COMPACT_DEPTH"] = str(d)
             ms1, c1 = run(scene, meta, size)
             print(f"[{size}] compact d={d}: {ms1:8.1f} ms/frame "
                   f"(compile {c1:.0f}s)", flush=True)
-    os.environ["IMBA_PT_COMPACT"] = "0"
+    os.environ["IMBA_VCM_COMPACT"] = "0"
 
 
 if __name__ == "__main__":

@@ -54,10 +54,11 @@ def test_vcm_camera_compact_matches_banded(monkeypatch):
                       60.0)
     kw = dict(algo="vcm", width=size, height=size, spp=1, max_len=4,
               light_path_count=256)
-    monkeypatch.setenv("IMBA_PT_COMPACT", "0")
+    monkeypatch.setenv("IMBA_VCM_COMPACT", "0")
     a = np.asarray(vcm_mod.render_vcm_frame(
         scene, cam, jnp.uint32(0), 5e-3, **kw))
-    monkeypatch.setenv("IMBA_PT_COMPACT", "1")
+    monkeypatch.setenv("IMBA_VCM_COMPACT", "1")
+    monkeypatch.setenv("IMBA_VCM_COMPACT_DEPTH", "2")
     monkeypatch.setattr(vcm_mod, "BAND_RAYS", 512)
     b = np.asarray(vcm_mod.render_vcm_frame(
         scene, cam, jnp.uint32(0), 5e-3, **kw))
