@@ -334,22 +334,31 @@ BAND_RAYS = 1 << 18
 # ---------------------------------------------------------------------------
 
 def compact_depth(max_len: int) -> int:
-    d = int(os.environ.get("IMBA_PT_COMPACT_DEPTH", "2"))
+    d = int(os.environ.get("IMBA_PT_COMPACT_DEPTH", "3"))
     return max(1, min(d, max_len - 1))
 
 
-def _use_compact(num_bands: int, max_len: int) -> bool:
-    """Opt-in (IMBA_PT_COMPACT=1) — measured SLOWER than plain banding on
-    the cornell dense-mode frame (226 ms banded vs 283-411 ms at
-    depth 4..1, scripts/profile_compact.py): the phase-1/phase-2 split
-    doubles dispatch count and the big multi-operand sort + scatter-film
-    epilogue cost more than the skipped dead-lane bounces save on a
-    cheap-per-bounce scene.  Kept as a route for expensive-per-bounce
-    passes (VCM merge) where the economics differ."""
-    mode = os.environ.get("IMBA_PT_COMPACT", "0")
-    if mode != "1" or num_bands <= 1 or max_len < 2:
+def _use_compact(num_bands: int, max_len: int, mode: str = "") -> bool:
+    """Mode-adaptive default, both cases measured at 1024² on TPU:
+
+    - dense-mode cornell (closed box — lanes die only by RR): compaction
+      LOSES, 226 ms banded vs 283-411 ms at depth 4..1
+      (scripts/profile_compact.py) — the extra dispatches + sort +
+      scatter-film epilogue outweigh the cheap skipped bounces.
+    - stream-mode 48k-tri open scene (most bounce rays escape — alive
+      12% after 3 bounces): compaction WINS, 2362 → 1895 ms at depth 3
+      (scripts/profile_compact_big.py).
+
+    So the default is ON only for the HBM-streaming modes, where scenes
+    are big/open and per-bounce cost is high.  IMBA_PT_COMPACT=1/0
+    forces either way (tests force it on under CPU)."""
+    env = os.environ.get("IMBA_PT_COMPACT", "auto")
+    if env == "0" or num_bands <= 1 or max_len < 2:
         return False
-    return True
+    if env == "1":
+        return True
+    return (jax.default_backend() == "tpu"
+            and mode in ("stream", "stream2"))
 
 
 @partial(
@@ -686,7 +695,7 @@ def render_pt_frame(
     num_pixels = width * height
     band = max(1, BAND_RAYS // max(spp, 1))
     num_bands = -(-num_pixels // band)
-    if _use_compact(num_bands, max_len):
+    if _use_compact(num_bands, max_len, getattr(scene.bvh, "mode", "")):
         return _render_pt_frame_compact(
             scene, cam, frame, width, height, spp, max_len, has_masks,
             has_bump, with_stats, max_steps, band,
