@@ -72,3 +72,32 @@ def test_compact_deep_checkpoint(monkeypatch):
                          monkeypatch=monkeypatch)
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
     assert na == nb
+
+
+def test_compact_masked_matches_banded(monkeypatch):
+    """Masks flow through both compaction phases: the alpha_fn re-trace
+    (pt masked closest/any hit) must give identical films on the
+    compacted and banded routes for the masked-occluder scene."""
+    from imbatracer_tpu.render.integrators import pt as pt_mod
+    from imbatracer_tpu.scene.procedural import make_masked_scene
+    from imbatracer_tpu.frontend.renderer import RenderSettings, camera_for_scene
+
+    scene, meta = make_masked_scene()
+    assert meta.has_masks
+    size = 32
+    settings = RenderSettings(width=size, height=size, spp=1, max_path_len=4)
+    cam = camera_for_scene(meta, settings)
+
+    def render():
+        return np.asarray(pt_mod.render_pt_frame(
+            scene, cam, jnp.uint32(3), size, size, spp=1, max_len=4,
+            has_masks=True))
+
+    monkeypatch.setenv("IMBA_PT_COMPACT", "0")
+    a = render()
+    monkeypatch.setenv("IMBA_PT_COMPACT", "1")
+    monkeypatch.setenv("IMBA_PT_COMPACT_DEPTH", "2")
+    monkeypatch.setattr(pt_mod, "BAND_RAYS", 256)
+    b = render()
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
