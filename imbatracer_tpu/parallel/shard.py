@@ -24,7 +24,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..render.camera import Camera
 from ..render.film import splat
-from ..render.integrators.pt import camera_rays, trace_paths
+from ..render.integrators.pt import (_compact_carry, _init_carry, _pt_bounce,
+                                     alpha_fn_for, camera_rays, compact_depth,
+                                     trace_paths)
 from ..render.light_cache import LightVertexCache, empty_cache
 
 RAY_AXIS = "rays"
@@ -74,6 +76,147 @@ def _pt_band_sharded(
     )(scene, cam, org, d, state, pixel_id)
 
 
+# ---------------------------------------------------------------------------
+# Sharded mid-frame lane compaction (the round-3 single-chip win, ported
+# per docs/multichip.md: compact per shard, no new collectives).  Phase 1
+# runs the first `compact_depth` bounces of every local band inside ONE
+# shard_map call and sorts each shard's lanes dead-last LOCALLY (lax.sort
+# under shard_map is shard-local); one host sync reads the per-shard alive
+# counts, and ceil(max_alive / band) phase-2 dispatches finish the
+# remaining bounces on every shard in lockstep (shards with fewer live
+# lanes do masked work — the SPMD price; no new collectives beyond the
+# existing film psum).  Per-lane math is bit-identical to the un-compacted
+# sharded renderer; at spp=1 the film is bitwise identical too (one lane
+# per pixel).  Reference role: ray_queue.h:161-207 across devices.
+# ---------------------------------------------------------------------------
+
+_PT_CARRY_KEYS = ("active", "d", "depth", "last_pdf", "last_specular", "org",
+                  "radiance", "state", "throughput", "tmin")
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "spp", "max_len", "has_masks", "has_bump", "mesh",
+    "max_steps", "bounces", "band_lanes"))
+def _pt_phase1_compact_sharded(scene, cam, frame, *, width, height, spp,
+                               max_len, has_masks, has_bump, mesh, max_steps,
+                               bounces, band_lanes):
+    """Whole-frame phase 1: every shard traces its local bands for
+    `bounces` bounces and compacts locally.  Returns (sorted carry
+    [sharded], pixel ids [sharded], per-shard alive counts (n_dev,),
+    psum'd ray count)."""
+    num_pixels = width * height
+    n_dev = mesh.devices.size
+    org, d, state, pixel_id = camera_rays(cam, width, height, spp, frame)
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+    lanes_local = (num_pixels * spp) // n_dev
+
+    def shard_fn(scene, cam, org, d, state, pixel_id):
+        def body(i, cc):
+            return _pt_bounce(scene, cc, alpha_fn=alpha_fn,
+                              has_bump=has_bump, max_len=max_len,
+                              max_steps=max_steps)
+
+        carries, n_rays = [], None
+        for s in range(0, lanes_local, band_lanes):
+            e = min(s + band_lanes, lanes_local)
+            c = _init_carry(org[s:e], d[s:e], state[s:e])
+            c = jax.lax.fori_loop(0, bounces, body, c)
+            n = c.pop("n_rays")
+            n_rays = n if n_rays is None else n_rays + n
+            carries.append(c)
+        merged = (carries[0] if len(carries) == 1 else
+                  jax.tree_util.tree_map(
+                      lambda *xs: jnp.concatenate(xs, axis=0), *carries))
+        sc, pix, alive = _compact_carry(merged, pixel_id)
+        return sc, pix, alive[None], jax.lax.psum(n_rays, RAY_AXIS)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                  P(RAY_AXIS)),
+        out_specs=({k: P(RAY_AXIS) for k in _PT_CARRY_KEYS}, P(RAY_AXIS),
+                   P(RAY_AXIS), P()),
+    )(scene, cam, org, d, state, pixel_id)
+
+
+@partial(jax.jit, static_argnames=(
+    "max_len", "has_masks", "has_bump", "max_steps", "mesh", "bounces",
+    "size"))
+def _pt_phase2_sharded(scene, sc, start, *, max_len, has_masks, has_bump,
+                       max_steps, mesh, bounces, size):
+    """Bounce local rows [start, start+size) of the compacted carry on
+    every shard; writes results back in place."""
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+
+    def shard_fn(scene, sc, start):
+        ck = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, start, size, 0), sc)
+        # Derived-from-input zero: a replicated literal would change
+        # varying-ness across the loop carry (shard_map vma typing).
+        ck["n_rays"] = jnp.sum(jnp.zeros_like(ck["depth"][:1]))
+
+        def body(i, cc):
+            return _pt_bounce(scene, cc, alpha_fn=alpha_fn,
+                              has_bump=has_bump, max_len=max_len,
+                              max_steps=max_steps)
+
+        out = jax.lax.fori_loop(0, bounces, body, ck)
+        n = out.pop("n_rays")
+        sc2 = {k: jax.lax.dynamic_update_slice_in_dim(sc[k], out[k], start, 0)
+               for k in sc}
+        return sc2, jax.lax.psum(n, RAY_AXIS)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), {k: P(RAY_AXIS) for k in _PT_CARRY_KEYS}, P()),
+        out_specs=({k: P(RAY_AXIS) for k in _PT_CARRY_KEYS}, P()),
+    )(scene, sc, start)
+
+
+@partial(jax.jit, static_argnames=("mesh", "num_pixels"))
+def _scatter_film_sharded(pix, rad, *, mesh, num_pixels):
+    def shard_fn(pix, rad):
+        return jax.lax.psum(splat(rad, pix, num_pixels), RAY_AXIS)
+
+    return jax.shard_map(shard_fn, mesh=mesh,
+                         in_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+                         out_specs=P())(pix, rad)
+
+
+def _render_pt_frame_compact_sharded(scene, cam, frame, width, height, spp,
+                                     max_len, has_masks, has_bump,
+                                     with_stats, max_steps, mesh, band_lanes):
+    num_pixels = width * height
+    n_dev = mesh.devices.size
+    depth0 = compact_depth(max_len)
+    lanes_local = (num_pixels * spp) // n_dev
+
+    sc, pix, alive, n_rays = _pt_phase1_compact_sharded(
+        scene, cam, frame, width=width, height=height, spp=spp,
+        max_len=max_len, has_masks=has_masks, has_bump=has_bump, mesh=mesh,
+        max_steps=max_steps, bounces=depth0, band_lanes=band_lanes)
+
+    n_alive = int(jnp.max(alive))  # the one host sync
+    todo = min(lanes_local,
+               -(-n_alive // band_lanes) * band_lanes if n_alive else 0)
+    start = 0
+    while start < todo:
+        size = min(band_lanes, lanes_local - start)
+        sc, n2 = _pt_phase2_sharded(
+            scene, sc, jnp.int32(start), max_len=max_len,
+            has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
+            mesh=mesh, bounces=max_len - depth0, size=size)
+        n_rays = n_rays + n2
+        start += size
+    film = _scatter_film_sharded(pix, sc["radiance"], mesh=mesh,
+                                 num_pixels=num_pixels)
+    if with_stats:
+        return film, n_rays
+    return film
+
+
 def render_pt_frame_sharded(
     scene,
     cam: Camera,
@@ -96,7 +239,22 @@ def render_pt_frame_sharded(
     n_dev = mesh.devices.size
     frame = jnp.asarray(frame, jnp.uint32)
     # Per-device dispatch cap, same rationale as the single-chip bands.
-    band = min((1 << 18) // max(spp, 1), max(num_pixels // n_dev, 1))
+    band = min(BAND_RAYS // max(spp, 1), max(num_pixels // n_dev, 1))
+
+    # Mid-frame compaction (same mode-adaptive default as the single-chip
+    # renderer, pt._use_compact) when shards have multiple local bands and
+    # lanes split evenly over the mesh.
+    from ..render.integrators.pt import _use_compact
+
+    band_lanes = band * spp
+    lanes_local = (num_pixels * spp) // n_dev
+    num_bands_local = (-(-lanes_local // band_lanes)
+                       if (num_pixels * spp) % n_dev == 0 else 1)
+    if num_bands_local > 1 and _use_compact(
+            num_bands_local, max_len, getattr(scene.bvh, "mode", "")):
+        return _render_pt_frame_compact_sharded(
+            scene, cam, frame, width, height, spp, max_len, has_masks,
+            has_bump, with_stats, max_steps, mesh, band_lanes)
     film = jnp.zeros((num_pixels, 3), jnp.float32)
     stats = jnp.zeros((), jnp.int32)
     # Sharded bands cover exactly bp * n_dev pixels each; the final
@@ -288,6 +446,155 @@ def _vcm_camera_band_sharded(scene, cam, frame, cache, grid, base_radius,
 BAND_RAYS = 1 << 18  # per-device dispatch cap (see integrators.vcm)
 
 
+# ---------------------------------------------------------------------------
+# Sharded VCM camera-pass compaction (same structure as the PT port above:
+# per-shard local bands + local dead-last sort inside one shard_map, one
+# host sync on the max per-shard alive count, lockstep phase-2 bands).
+# Each shard covers the contiguous global pixel range
+# [axis_index * pixels_local, ...) — a different cover than the
+# un-compacted band interleave, but RNG is keyed by global pixel id and
+# the film is scattered by pixel id, so any disjoint cover renders the
+# same frame.
+# ---------------------------------------------------------------------------
+
+_VCM_CARRY_KEYS = ("active", "d", "d_vc", "d_vcm", "d_vm", "org", "radiance",
+                   "state", "throughput", "tmin")
+
+_VCM_SHARD_STATICS = (
+    "mesh", "algo", "width", "height", "spp", "max_len", "light_path_count",
+    "num_connections", "num_knn", "table_size", "max_per_cell", "has_masks",
+    "has_bump", "max_steps", "techniques", "mat_kinds", "bounces",
+)
+
+
+@partial(jax.jit, static_argnames=_VCM_SHARD_STATICS + ("band_pixels",))
+def _vcm_camera_phase1_sharded(scene, cam, frame, cache, grid, base_radius,
+                               *, mesh, algo, width, height, spp, max_len,
+                               light_path_count, num_connections, num_knn,
+                               table_size, max_per_cell, has_masks, has_bump,
+                               max_steps, techniques, mat_kinds, bounces,
+                               band_pixels):
+    """Whole-frame camera phase 1: every shard traces its local pixel
+    bands for `bounces` camera bounces and compacts locally."""
+    from ..render.integrators.vcm import (_camera_body_fn,
+                                          _camera_carry_init, _mis_constants)
+
+    pm_radius, mis_eta_vc, mis_eta_vm = _mis_constants(
+        frame, base_radius, light_path_count, algo)
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+    num_pixels = width * height
+    n_dev = mesh.devices.size
+    pixels_local = num_pixels // n_dev
+
+    def shard_fn(scene, cam, frame, cache, grid, pm_radius, base_radius,
+                 eta_vc, eta_vm):
+        body = _camera_body_fn(
+            scene, cache, grid, pm_radius, base_radius, eta_vc, eta_vm,
+            algo=algo, max_len=max_len, light_path_count=light_path_count,
+            num_connections=num_connections, num_knn=num_knn,
+            table_size=table_size, max_per_cell=max_per_cell,
+            has_bump=has_bump, alpha_fn=alpha_fn, max_steps=max_steps,
+            techniques=techniques, mat_kinds=mat_kinds)
+        base = jax.lax.axis_index(RAY_AXIS) * pixels_local
+        carries, pids = [], []
+        for s in range(0, pixels_local, band_pixels):
+            bp = min(band_pixels, pixels_local - s)
+            carry, pid = _camera_carry_init(
+                scene, cam, frame, width=width, height=height, spp=spp,
+                light_path_count=light_path_count, start_pixel=base + s,
+                band_pixels=bp)
+            carries.append(jax.lax.fori_loop(0, bounces, body, carry))
+            pids.append(pid)
+        merged = (carries[0] if len(carries) == 1 else
+                  jax.tree_util.tree_map(
+                      lambda *xs: jnp.concatenate(xs, axis=0), *carries))
+        pix = pids[0] if len(pids) == 1 else jnp.concatenate(pids, axis=0)
+        sc, pix, alive = _compact_carry(merged, pix)
+        return sc, pix, alive[None]
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(),) * 9,
+        out_specs=({k: P(RAY_AXIS) for k in _VCM_CARRY_KEYS}, P(RAY_AXIS),
+                   P(RAY_AXIS)),
+    )(scene, cam, frame, cache, grid, pm_radius, base_radius, mis_eta_vc,
+      mis_eta_vm)
+
+
+@partial(jax.jit, static_argnames=_VCM_SHARD_STATICS + ("size",))
+def _vcm_camera_phase2_sharded(scene, frame, cache, grid, base_radius, sc,
+                               start, *, mesh, algo, width, height, spp,
+                               max_len, light_path_count, num_connections,
+                               num_knn, table_size, max_per_cell, has_masks,
+                               has_bump, max_steps, techniques, mat_kinds,
+                               bounces, size):
+    """Camera bounces [bounces, max_len) on local rows [start, start+size)
+    of every shard's compacted carry, written back in place."""
+    from ..render.integrators.vcm import _camera_body_fn, _mis_constants
+
+    pm_radius, mis_eta_vc, mis_eta_vm = _mis_constants(
+        frame, base_radius, light_path_count, algo)
+    alpha_fn = alpha_fn_for(scene) if has_masks else None
+
+    def shard_fn(scene, frame, cache, grid, pm_radius, base_radius, eta_vc,
+                 eta_vm, sc, start):
+        body = _camera_body_fn(
+            scene, cache, grid, pm_radius, base_radius, eta_vc, eta_vm,
+            algo=algo, max_len=max_len, light_path_count=light_path_count,
+            num_connections=num_connections, num_knn=num_knn,
+            table_size=table_size, max_per_cell=max_per_cell,
+            has_bump=has_bump, alpha_fn=alpha_fn, max_steps=max_steps,
+            techniques=techniques, mat_kinds=mat_kinds)
+        ck = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, start, size, 0), sc)
+        out = jax.lax.fori_loop(bounces, max_len, body, ck)
+        return {k: jax.lax.dynamic_update_slice_in_dim(sc[k], out[k],
+                                                       start, 0)
+                for k in sc}
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(),) * 8 + ({k: P(RAY_AXIS) for k in _VCM_CARRY_KEYS},
+                               P()),
+        out_specs={k: P(RAY_AXIS) for k in _VCM_CARRY_KEYS},
+    )(scene, frame, cache, grid, pm_radius, base_radius, mis_eta_vc,
+      mis_eta_vm, sc, start)
+
+
+def _vcm_camera_pass_compact_sharded(scene, cam, frame, cache, grid,
+                                     base_radius, mesh, *, band, spp,
+                                     max_len, width, height, **kw):
+    """Sharded camera pass with per-shard mid-frame compaction."""
+    from ..render.integrators.vcm import vcm_compact_depth
+
+    num_pixels = width * height
+    n_dev = mesh.devices.size
+    depth0 = vcm_compact_depth(max_len)
+    lanes_local = (num_pixels // n_dev) * spp
+    band_lanes = band * spp
+
+    sc, pix, alive = _vcm_camera_phase1_sharded(
+        scene, cam, frame, cache, grid, base_radius, mesh=mesh, spp=spp,
+        max_len=max_len, width=width, height=height, bounces=depth0,
+        band_pixels=band, **kw)
+
+    n_alive = int(jnp.max(alive))  # the one host sync
+    todo = min(lanes_local,
+               -(-n_alive // band_lanes) * band_lanes if n_alive else 0)
+    start = 0
+    while start < todo:
+        size = min(band_lanes, lanes_local - start)
+        sc = _vcm_camera_phase2_sharded(
+            scene, frame, cache, grid, base_radius, sc, jnp.int32(start),
+            mesh=mesh, spp=spp, max_len=max_len, width=width, height=height,
+            bounces=depth0, size=size, **kw)
+        start += size
+    return _scatter_film_sharded(pix, sc["radiance"], mesh=mesh,
+                                 num_pixels=num_pixels)
+
+
 def render_vcm_frame_sharded(
     scene,
     cam: Camera,
@@ -385,6 +692,20 @@ def render_vcm_frame_sharded(
     if algo != "lt":
         band = min(BAND_RAYS // max(spp, 1),
                    max(num_pixels // n_dev, 1))
+        from ..render.integrators.vcm import _use_vcm_compact
+
+        num_bands_local = (-(-(num_pixels // n_dev) // band)
+                           if num_pixels % n_dev == 0 else 1)
+        if num_bands_local > 1 and _use_vcm_compact(num_bands_local, max_len):
+            return film + _vcm_camera_pass_compact_sharded(
+                scene, cam, frame, cache, grid, base_radius, mesh,
+                band=band, spp=spp, max_len=max_len, width=width,
+                height=height, algo=algo,
+                light_path_count=light_path_count,
+                num_connections=num_connections, num_knn=num_knn,
+                table_size=table_size, max_per_cell=max_per_cell,
+                has_masks=has_masks, has_bump=has_bump, max_steps=max_steps,
+                techniques=techniques, mat_kinds=mat_kinds)
         parts = []
         # Sharded bands cover exactly bp * n_dev pixels; the final
         # < n_dev remainder renders un-sharded (single-device band), so

@@ -74,6 +74,73 @@ def test_compact_deep_checkpoint(monkeypatch):
     assert na == nb
 
 
+def test_sharded_compact_matches_single_device(monkeypatch):
+    """Round-4 port: mid-frame compaction inside the sharded band path
+    (parallel/shard._render_pt_frame_compact_sharded) must reproduce the
+    single-chip banded frame (per-shard local sort, one host sync on the
+    max alive count, no new collectives)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from imbatracer_tpu.parallel import shard as shard_mod
+    from imbatracer_tpu.render.camera import make_camera
+
+    scene, meta = make_cornell_scene()
+    size = 48
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size,
+                      60.0)
+    mesh = shard_mod.make_mesh(jax.devices()[:8])
+
+    monkeypatch.setenv("IMBA_PT_COMPACT", "0")
+    a, na = pt_mod.render_pt_frame(
+        scene, cam, jnp.uint32(0), size, size, max_len=5, with_stats=True)
+    monkeypatch.setenv("IMBA_PT_COMPACT", "1")
+    monkeypatch.setenv("IMBA_PT_COMPACT_DEPTH", "2")
+    # 48*48/8 = 288 lanes per shard; band 64 -> 5 local bands.
+    monkeypatch.setattr(shard_mod, "BAND_RAYS", 64)
+    b, nb = shard_mod.render_pt_frame_sharded(
+        scene, cam, jnp.uint32(0), size, size, mesh, max_len=5,
+        with_stats=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-5)
+    assert int(na) == int(nb)  # same per-path ray sets, exactly
+
+
+def test_sharded_vcm_compact_matches_single_device(monkeypatch):
+    """Round-4 port: VCM camera-pass compaction inside the sharded path
+    (shard._vcm_camera_pass_compact_sharded) vs the single-chip
+    un-compacted frame — merged cache, grid, connections and merge all
+    thread through the per-shard phase split."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from imbatracer_tpu.parallel import shard as shard_mod
+    from imbatracer_tpu.render.camera import make_camera
+    from imbatracer_tpu.render.integrators import vcm as vcm_mod
+
+    scene, meta = make_cornell_scene()
+    size = 32
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size,
+                      60.0)
+    mesh = shard_mod.make_mesh(jax.devices()[:8])
+    kw = dict(algo="vcm", width=size, height=size, max_len=4,
+              light_path_count=512, cache_capacity=8192)
+    r = jnp.float32(0.05)
+    monkeypatch.setenv("IMBA_VCM_COMPACT", "0")
+    a = np.asarray(vcm_mod.render_vcm_frame(
+        scene, cam, jnp.uint32(0), r, **kw))
+    monkeypatch.setenv("IMBA_VCM_COMPACT", "1")
+    monkeypatch.setenv("IMBA_VCM_COMPACT_DEPTH", "2")
+    # 32*32/8 = 128 pixels per shard; band 32 -> 4 local bands.
+    monkeypatch.setattr(shard_mod, "BAND_RAYS", 32)
+    b = np.asarray(shard_mod.render_vcm_frame_sharded(
+        scene, cam, jnp.uint32(0), r, mesh, **kw))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 def test_compact_masked_matches_banded(monkeypatch):
     """Masks flow through both compaction phases: the alpha_fn re-trace
     (pt masked closest/any hit) must give identical films on the
