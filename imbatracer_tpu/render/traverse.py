@@ -175,11 +175,15 @@ DENSE_MAX_TRIS = 1024
 # Alpha-masked traversal on the streaming kernel: the kernel itself is
 # gather-free (Mosaic cannot do per-lane indexing, so no in-kernel texture
 # lookups); masked hits are resolved OUTSIDE by re-tracing past
-# transparent intersections.  Bounded rounds: a ray crossing more than
-# ALPHA_ROUNDS consecutive masked-out surfaces treats the last one as
-# opaque (the reference kernels are exact, core/mask.h; the cornell-family
-# test scenes carry no masks, so the bound is a documented trade).
-ALPHA_ROUNDS = 4
+# transparent intersections.  Round 4 made this EXACT and adaptive (the
+# reference kernels are exact, core/mask.h): a data-dependent while_loop
+# re-dispatches until no lane crossed a masked-out surface, and each
+# re-trace goes through the SORTED kernel so resolved lanes compact into
+# trailing zero-work blocks (cost scales with the count still tracing,
+# not the batch).  MASK_MAX_ROUNDS is only a runaway guard (tmin strictly
+# advances every round, so termination is already guaranteed; the guard
+# caps a pathological epsilon stall).
+MASK_MAX_ROUNDS = 4096
 
 # Route incoherent (sort=True) stream dispatches through the pair-stream
 # kernel (ops/pallas_pairs.py).  OFF by default after round-3 end-to-end
@@ -219,12 +223,23 @@ def _recenter(bvh, org):
 
 
 def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active,
-                        hit_fn=None):
-    """Closest hit with transparency masks via iterative re-tracing."""
-    from ..ops.pallas_stream import closest_hit_stream
+                        hit_fn=None, sort=False):
+    """Closest hit with transparency masks via iterative re-tracing.
+
+    Exact (reference: core/mask.h, the *_masked kernel family in
+    ray_queue.h:254-341): a while_loop keeps re-dispatching past
+    masked-out intersections until every lane lands on an opaque hit or
+    a miss.  Re-traces use the SORTED stream dispatch: lanes not
+    re-tracing carry the max sort key and compact into trailing
+    zero-work blocks (pallas_stream.sort_keys), so a round touching 2%
+    of lanes costs ~2% of a full dispatch plus the sort machinery."""
+    from ..ops.pallas_stream import closest_hit_sorted, closest_hit_stream
 
     if hit_fn is None:
-        hit_fn = closest_hit_stream
+        first_fn = closest_hit_sorted if sort else closest_hit_stream
+        retr_fn = closest_hit_sorted
+    else:
+        first_fn = retr_fn = hit_fn  # vmem mode: no block compaction
     org = _recenter(bvh, org)
     num_r = org.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
@@ -232,21 +247,35 @@ def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active,
     act = (
         jnp.ones((num_r,), jnp.bool_) if active is None else active
     )
-    hit = hit_fn(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
-                 active=act, inst=_inst(bvh))
-    for _ in range(ALPHA_ROUNDS):
+    inst = _inst(bvh)
+    hit = first_fn(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
+                   active=act, inst=inst)
+
+    def _retrace_mask(hit):
         got = act & (hit.prim_id >= 0)
         opaque = alpha_fn(jnp.maximum(hit.prim_id, 0), hit.u, hit.v)
-        retrace = got & ~opaque
+        return got & ~opaque
+
+    def cond(st):
+        k, _, retrace = st
+        return jnp.any(retrace) & (k < MASK_MAX_ROUNDS)
+
+    def body(st):
+        k, hit, retrace = st
         new_tmin = hit.t + 1e-3 * jnp.maximum(hit.t, 1e-3)
-        h2 = hit_fn(bvh.sbox, bvh.tiles, org, d, new_tmin, tmax,
-                    active=retrace, inst=_inst(bvh))
+        h2 = retr_fn(bvh.sbox, bvh.tiles, org, d,
+                     jnp.where(retrace, new_tmin, tmin), tmax,
+                     active=retrace, inst=inst)
         hit = Hit(
             t=jnp.where(retrace, h2.t, hit.t),
             prim_id=jnp.where(retrace, h2.prim_id, hit.prim_id),
             u=jnp.where(retrace, h2.u, hit.u),
             v=jnp.where(retrace, h2.v, hit.v),
         )
+        return k + 1, hit, retrace & _retrace_mask(hit)
+
+    _, hit, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), hit, _retrace_mask(hit)))
     return hit
 
 
@@ -457,7 +486,8 @@ def closest_hit(
                                     _recenter(bvh, org), d, tmin, tmax,
                                     active=active)
         return _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn,
-                                   active, hit_fn=closest_hit_vmem)
+                                   active, hit_fn=closest_hit_vmem,
+                                   sort=sort)
     if bvh.mode in ("stream", "stream2"):
         from ..ops.pallas_pairs import closest_hit_pairs
         from ..ops.pallas_stream import closest_hit_stream
@@ -479,7 +509,8 @@ def closest_hit(
                 fn = closest_hit_stream
             return fn(bvh.sbox, bvh.tiles, _recenter(bvh, org), d, tmin,
                       tmax, active=active, inst=_inst(bvh))
-        return _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)
+        return _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active,
+                                   sort=sort)
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
     )
@@ -551,7 +582,8 @@ def any_hit(
             return any_hit_vmem(bvh.sbox, bvh.tiles, _recenter(bvh, org),
                                 d, tmin, tmax, active=active)
         hit = _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn,
-                                  active, hit_fn=closest_hit_vmem)
+                                  active, hit_fn=closest_hit_vmem,
+                                  sort=sort)
         return hit.prim_id >= 0
     if bvh.mode in ("stream", "stream2"):
         from ..ops.pallas_pairs import any_hit_pairs
@@ -570,7 +602,8 @@ def any_hit(
                 fn = any_hit_stream
             return fn(bvh.sbox, bvh.tiles, _recenter(bvh, org),
                       d, tmin, tmax, active=active, inst=_inst(bvh))
-        hit = _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active)
+        hit = _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active,
+                                  sort=sort)
         return hit.prim_id >= 0
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin, tmax, start) = _prep(
         org, d, tmin, tmax, active
