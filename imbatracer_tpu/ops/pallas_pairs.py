@@ -62,9 +62,25 @@ from .pallas_stream import (
     _rays8t,
 )
 
+import os as _os
+
 K_MAX = 8
 RAY_CHUNK = 1 << 15      # per-ray candidate pass ray-chunking (VMEM bound)
-FIRST_K = True           # first-k-by-index candidates (vs top_k by entry t)
+# Candidate selection (round-4 rework, VERDICT r3 item 3):
+#   "front" — front-to-back top-K via k iterative argmin reductions
+#             (~4x cheaper than lax.top_k's per-row sort, CLAUDE.md).
+#             mindrop becomes the (k+1)-th NEAREST entry — the largest
+#             possible — so the saturation fallback only fires for rays
+#             whose true hit lies beyond their K nearest chunks (rare),
+#             instead of the round-3 66% (first-k-by-index made mindrop
+#             an arbitrary dropped entry, forcing most saturated rays
+#             through the stream fallback: pay both pipelines, lose
+#             end-to-end).
+#   "first" — round-3 first-k-by-index (rank arithmetic, no per-ray
+#             entry ordering); cheapest build, biggest fallback.
+#   "topk"  — lax.top_k (measured 29 vs 7.6 ms at 264k tris; kept for
+#             A/B only).
+SEL = _os.environ.get("IMBA_PAIRS_SEL", "front")
 PASSES = 1               # closest-hit schedule: 1 = all candidates in one
                          # queue; 2 = nearest candidate first, remainder
                          # clamped to its best t (early termination)
@@ -113,7 +129,29 @@ def ray_candidates(rays8t, sbox, k_max=K_MAX, with_ents=False):
         hit = ent_all < BIG
         count = jnp.sum(hit, axis=1).astype(jnp.int32)
         k = min(k_max, num_s)
-        if FIRST_K:
+        if SEL == "front":
+            # Front-to-back top-K: k rounds of (argmin, min, mask-out).
+            # Three (Rc, S) passes per round — elementwise + reduction
+            # only, no per-row sort, no gathers.
+            s_iota = jnp.arange(ent_all.shape[1], dtype=jnp.int32)[None, :]
+            ent_work = ent_all
+            idx_cols, ent_cols_v = [], []
+            for j in range(k):
+                e = jnp.min(ent_work, axis=1)
+                col = jnp.argmin(ent_work, axis=1).astype(jnp.int32)
+                valid = e < BIG
+                idx_cols.append(jnp.where(valid, col, -1))
+                ent_cols_v.append(jnp.where(valid, jnp.maximum(e, 0.0),
+                                            BIG))
+                ent_work = jnp.where(
+                    (s_iota == col[:, None]) & valid[:, None], BIG,
+                    ent_work)
+            idx = jnp.stack(idx_cols, axis=1)
+            ent = jnp.stack(ent_cols_v, axis=1)
+            # Everything still in ent_work was dropped; its minimum is
+            # the (k+1)-th nearest entry — the exactness horizon.
+            mindrop = jnp.min(ent_work, axis=1)
+        elif SEL == "first":
             # First-k-by-index via rank arithmetic: the 1-pass queue
             # never uses candidate ORDER (no early exit across pairs;
             # saturated rays re-trace through the exact fallback), so
