@@ -85,12 +85,51 @@ def main():
     except Exception as e:  # never let the secondary kill the headline
         sys.stderr.write(f"big-scene metric failed: {type(e).__name__}\n")
 
+    # Tertiary: BASELINE config-2 proxy — 1920x1080 PT on the
+    # full-material-set + env + masks still-life stand-in (VERDICT r3
+    # item 6; scene/procedural.make_still_life_like).
+    try:
+        sl = _still_life_metric()
+        os.makedirs("results", exist_ok=True)
+        with open("results/bench_1080p.json", "w") as f:
+            json.dump(sl, f)
+    except Exception as e:
+        sys.stderr.write(f"1080p metric failed: {type(e).__name__}\n")
+
     print(json.dumps({
         "metric": "pt_megastep_throughput_cornell_1024",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays * (8 / n_chips) / 500.0, 4),
     }))
+
+
+def _still_life_metric(frames=3):
+    """1080p PT on the config-2 proxy (>=100k tris, all six BSDF kinds,
+    env + area lights, alpha-masked cards).  Reference workload:
+    test/run_bench.py:58-111 config 2."""
+    from imbatracer_tpu.frontend.engine import make_frame_fn
+    from imbatracer_tpu.frontend.renderer import RenderSettings
+    from imbatracer_tpu.scene.procedural import make_still_life_like
+
+    scene, meta = make_still_life_like()
+    settings = RenderSettings(width=1920, height=1080, spp=1,
+                              algorithm="pt", max_path_len=8)
+    frame_fn, _ = make_frame_fn(scene, meta, settings)
+    jax.block_until_ready(frame_fn(jnp.uint32(0)))
+    t0 = time.time()
+    out = None
+    for i in range(1, frames + 1):
+        out = frame_fn(jnp.uint32(i))
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / frames
+    return {
+        "metric": "pt_frame_ms_still_life_1080p",
+        "tris": int(meta.num_tris),
+        "mode": scene.bvh.mode,
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/frame",
+    }
 
 
 def _big_scene_metric(boxes=4000, size=1024, frames=4):

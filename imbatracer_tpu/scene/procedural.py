@@ -458,6 +458,155 @@ def make_leaf_scene(num_leaves: int = 6000, seed: int = 0):
     return scene, meta
 
 
+def make_still_life_like(num_objects: int = 8300, num_cards: int = 400,
+                         seed: int = 3):
+    """Config-2/4 proxy workload (BASELINE.json; the real still_life.obj is
+    absent from the reference checkout — only its .scene/.mtl ship).
+
+    Exercises everything the north-star configs name at once: the FULL
+    material set (diffuse, mirror, glass, glossy, phong, Oren-Nayar —
+    reference materials.h kinds), an HDR environment light with a bright
+    sun disc (importance sampling matters, light.h:412-470), an area
+    light, and an alpha-masked foliage patch — at >=100k triangles, sized
+    for 1920x1080 rendering (reference workload definitions:
+    test/run_bench.py:58-111, configs 2/4/5)."""
+    rs = np.random.RandomState(seed)
+    tris = []
+    S = 30.0
+    (floor_m, white, red, green, mirror_m, glass_m, glossy_m, phong_m,
+     onayar_m, leaf_m, lightm) = range(11)
+
+    def add(quads, mat):
+        for t in quads:
+            tris.append((*t, mat))
+
+    # Open ground plane (Oren-Nayar floor) under an env sky.
+    add(_quad((-S, 0, S), (S, 0, S), (S, 0, -S), (-S, 0, -S)), floor_m)
+    # One floating area panel (config 5 wants area + env together).
+    add(_quad((-4, 24.0, -4), (4, 24.0, -4), (4, 24.0, 4), (-4, 24.0, 4)),
+        lightm)
+
+    # Object field: boxes (12 tris each) drawing from the full material
+    # set; specular kinds kept to a realistic minority share.
+    mats = [white, red, green, mirror_m, glass_m, glossy_m, phong_m,
+            onayar_m]
+    probs = [0.30, 0.14, 0.14, 0.08, 0.08, 0.10, 0.08, 0.08]
+    for _ in range(num_objects):
+        c = (rs.uniform(-S, S), rs.uniform(0.2, 8.0), rs.uniform(-S, S))
+        sz = tuple(rs.uniform(0.2, 1.2, 3))
+        _add_box(tris, center=c, size=sz, angle_deg=rs.uniform(0, 360),
+                 mat=int(rs.choice(mats, p=probs)))
+
+    # Masked foliage patch (disc-mask cards, see make_leaf_scene).
+    n_before = len(tris)
+    for _ in range(num_cards):
+        c = np.array([rs.uniform(-S, S), rs.uniform(6.0, 12.0),
+                      rs.uniform(-S, S)])
+        a, b = rs.randn(3), rs.randn(3)
+        a /= np.linalg.norm(a)
+        b -= a * np.dot(a, b)
+        b /= np.linalg.norm(b)
+        h = rs.uniform(0.4, 1.0)
+        p00, p10 = c - a * h - b * h, c + a * h - b * h
+        p11, p01 = c + a * h + b * h, c - a * h + b * h
+        add(_quad(tuple(p00), tuple(p10), tuple(p11), tuple(p01)), leaf_m)
+
+    v0 = np.asarray([t[0] for t in tris], np.float32)
+    v1 = np.asarray([t[1] for t in tris], np.float32)
+    v2 = np.asarray([t[2] for t in tris], np.float32)
+    mat_id = np.asarray([t[3] for t in tris], np.int32)
+    n = np.cross(v1 - v0, v2 - v0)
+    gn = (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True),
+                         1e-20)).astype(np.float32)
+
+    F = len(tris)
+    uv0 = np.zeros((F, 2), np.float32)
+    uv1 = np.zeros((F, 2), np.float32)
+    uv2 = np.zeros((F, 2), np.float32)
+    # Card UVs (two tris per card, same unwrap as make_leaf_scene).
+    card_uv = [((0, 0), (1, 0), (1, 1)), ((0, 0), (1, 1), (0, 1))]
+    for k in range(n_before, F):
+        for uv, val in zip((uv0, uv1, uv2), card_uv[(k - n_before) % 2]):
+            uv[k] = val
+
+    attrs = dict(
+        n0=gn, n1=gn, n2=gn, uv0=uv0, uv1=uv1, uv2=uv2,
+        mat_id=mat_id, light_id=np.full(F, -1, np.int32),
+        inst_id=np.zeros(F, np.int32), local_id=np.arange(F, dtype=np.int32),
+    )
+    emit_intensity = (400.0, 380.0, 330.0)
+    base = dict(ks=(0, 0, 0), tf=(0, 0, 0), ns=1.0, ior=1.0,
+                emit=(0, 0, 0), kd_tex=-1, bump_tex=-1, mask_tex=-1)
+    mat_rows = [
+        dict(base, kind=mat_mod.MAT_OREN_NAYAR, kd=(0.55, 0.5, 0.42),
+             ns=20.0),                                          # floor
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.7, 0.7, 0.7)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.6, 0.1, 0.05)),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.1, 0.5, 0.1)),
+        dict(base, kind=mat_mod.MAT_MIRROR, kd=(0, 0, 0),
+             ks=(0.9, 0.9, 0.9), ns=1000.0),
+        dict(base, kind=mat_mod.MAT_GLASS, kd=(0, 0, 0), ks=(1, 1, 1),
+             tf=(1, 1, 1), ior=1.5),
+        dict(base, kind=mat_mod.MAT_GLOSSY, kd=(0.3, 0.25, 0.1),
+             ks=(0.6, 0.6, 0.6), ns=80.0),
+        dict(base, kind=mat_mod.MAT_PHONG, kd=(0.2, 0.2, 0.45),
+             ks=(0.5, 0.5, 0.5), ns=30.0),
+        dict(base, kind=mat_mod.MAT_OREN_NAYAR, kd=(0.5, 0.35, 0.2),
+             ns=40.0),
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.15, 0.45, 0.1),
+             mask_tex=0),                                       # leaf cards
+        dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.8, 0.8, 0.8),
+             emit=emit_intensity),
+    ]
+    light_rows = []
+    for ti in np.nonzero(mat_id == lightm)[0]:
+        nn = np.cross(v1[ti] - v0[ti], v2[ti] - v0[ti])
+        area = 0.5 * np.linalg.norm(nn)
+        attrs["light_id"][ti] = len(light_rows)
+        light_rows.append(
+            dict(kind=light_mod.LIGHT_TRI, p0=v0[ti], p1=v1[ti], p2=v2[ti],
+                 normal=nn / (2 * area), intensity=emit_intensity, area=area)
+        )
+
+    # HDR sky: horizon-to-zenith gradient + a bright sun disc (concentrated
+    # energy so env importance sampling is load-bearing, light.h:412-470).
+    from ..render.envmap import build_envmap
+
+    eh, ew = 64, 128
+    tt = (np.arange(eh, dtype=np.float32) + 0.5) / eh          # 0=up pole
+    sky = np.zeros((eh, ew, 3), np.float32)
+    zen = np.array([0.25, 0.45, 0.9], np.float32)
+    hor = np.array([0.9, 0.8, 0.7], np.float32)
+    sky[:] = zen[None, None] * (1 - tt)[:, None, None] + \
+        hor[None, None] * tt[:, None, None]
+    # Sun at ~40 deg elevation: small, ~200x the sky radiance.
+    sy, sx = int(eh * 0.28), int(ew * 0.8)
+    sky[max(sy - 1, 0): sy + 2, max(sx - 1, 0): sx + 2] = (180.0, 160.0,
+                                                           120.0)
+    env = build_envmap(sky, (1.0, 1.0, 1.0))
+    light_rows.append(dict(kind=light_mod.LIGHT_ENV, intensity=(1, 1, 1)))
+
+    # Disc mask for the cards.
+    m = 64
+    yy, xx = np.mgrid[0:m, 0:m]
+    disc = (((xx + 0.5) / m - 0.5) ** 2 + ((yy + 0.5) / m - 0.5) ** 2
+            <= 0.25)
+    mask_img = np.broadcast_to(
+        np.where(disc[..., None], 1.0, 0.0).astype(np.float32),
+        (m, m, 3)).copy()
+
+    scene = assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows,
+                                  [mask_img], env)
+    meta = SceneMeta(
+        name=f"procedural_still_life_{num_objects}",
+        num_tris=F, num_materials=len(mat_rows), num_lights=len(light_rows),
+        num_textures=1, has_env=True, has_masks=True,
+        cam_pos=(0.0, 10.0, 42.0), cam_dir=(0.0, -0.18, -1.0),
+        cam_up=(0.0, 1.0, 0.0), bvh_stats=scene.bvh_stats,
+    )
+    return scene, meta
+
+
 def _add_box(tris, center, size, angle_deg, mat):
     cx, cy, cz = center
     sx, sy, sz = size[0] / 2, size[1] / 2, size[2] / 2

@@ -48,6 +48,41 @@ DEFAULT_RUNS = [
      "", "pt", 1024, 1024, {}),
 ]
 
+# BASELINE.json config-2/4/5 proxies (the Still Life OBJ is absent from
+# the checkout; proc:still_life is the full-material-set + env + masks
+# stand-in, scene/procedural.py::make_still_life_like).  Not in the
+# default set — enable with --proxies or --only.
+PROXY_RUNS = [
+    # config 2: full material set + env light, 1080p PT, 8 bounces
+    ("still_life_pt_1080p", "proc:still_life", "", "pt", 1920, 1080,
+     {"max_path_len": 8}),
+    # config 4: PPM + photon hash grid, 1M photons/iter
+    ("still_life_ppm_1M", "proc:still_life", "", "ppm", 1920, 1080,
+     {"light_path_count": 1 << 20}),
+    # config 5: VCM on an instanced multi-mesh scene, 1080p
+    ("instances_vcm_1080p", f"{SCENES}/cornell/cornell_instances.scene",
+     "", "vcm", 1920, 1080, {}),
+]
+
+PROC_SCENES = {
+    "proc:still_life": ("make_still_life_like", {}),
+    "proc:big": ("make_big_scene", {}),
+    "proc:big264": ("make_big_scene", {"num_boxes": 22000}),
+    "proc:leaves": ("make_leaf_scene", {}),
+}
+
+
+def _build_any_scene(scene_path):
+    """build_scene for .scene files; procedural generators for proc: URIs."""
+    if scene_path.startswith("proc:"):
+        from imbatracer_tpu.scene import procedural
+
+        fn_name, kw = PROC_SCENES[scene_path]
+        return getattr(procedural, fn_name)(**kw)
+    from imbatracer_tpu.scene.build import build_scene
+
+    return build_scene(scene_path)
+
 
 def run_one(name, scene_path, golden, algo, width, height, extra, seconds,
             converge_rmse=0.0, curve_path="", curve_every=5.0):
@@ -65,10 +100,9 @@ def run_one(name, scene_path, golden, algo, width, height, extra, seconds,
 
     from imbatracer_tpu.frontend.engine import make_frame_fn
     from imbatracer_tpu.frontend.renderer import ProgressiveRenderer, RenderSettings
-    from imbatracer_tpu.scene.build import build_scene
     from imbatracer_tpu.utils.metrics import load_reference_png, psnr, rmse
 
-    scene, meta = build_scene(scene_path)
+    scene, meta = _build_any_scene(scene_path)
     settings = RenderSettings(
         width=width, height=height, algorithm=algo, max_time_sec=seconds,
         **extra,
@@ -207,7 +241,25 @@ def main():
                     help="override render size (golden checks then skip)")
     ap.add_argument("--selfcheck-instances", action="store_true",
                     help="run the instanced-vs-flattened image self-check")
+    ap.add_argument("--proxies", action="store_true",
+                    help="include the BASELINE config-2/4/5 proxy runs "
+                         "(1080p full-material PT, PPM at 1M photons/iter, "
+                         "instanced VCM)")
+    ap.add_argument("--sweep", default="",
+                    help="parameter sweep: 'key=v1,v2,v3' repeats every "
+                         "selected run once per value (reference harness "
+                         "sweeps threads/spp/tile-size, run_bench.py:90-105)."
+                         " key is a RenderSettings field (light_path_count,"
+                         " num_connections, num_knn, radius_factor, spp,"
+                         " max_path_len) or an IMBA_* env knob (e.g."
+                         " IMBA_PT_COMPACT_DEPTH)")
     args = ap.parse_args()
+
+    sweep_key, sweep_vals = "", [None]
+    if args.sweep:
+        sweep_key, vals = args.sweep.split("=", 1)
+        sweep_key = sweep_key.strip()
+        sweep_vals = [v.strip() for v in vals.split(",") if v.strip()]
 
     gate_budgets = {}
     if args.gate_budgets:
@@ -217,10 +269,15 @@ def main():
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     rows = []
-    for run in DEFAULT_RUNS:
+    runs = list(DEFAULT_RUNS)
+    if args.proxies or args.only:
+        runs += PROXY_RUNS
+    for run in runs:
         if args.only and args.only not in run[0]:
             continue
-        if not os.path.exists(run[1]):
+        if args.only == "" and run in PROXY_RUNS and not args.proxies:
+            continue
+        if not run[1].startswith("proc:") and not os.path.exists(run[1]):
             print(f"skip {run[0]}: scene missing")
             continue
         print(f"== {run[0]} ({run[3]}, {args.time}s) ==", flush=True)
@@ -232,26 +289,42 @@ def main():
         budget = args.time
         if args.converge > 0 and algo in gate_budgets:
             budget = gate_budgets[algo]
-        try:
-            row = run_one(name, scene_path, golden, algo, w, h, extra,
-                          seconds=budget, converge_rmse=args.converge,
-                          curve_path=curve_path,
-                          curve_every=args.curve_every)
-        except Exception as e:  # device faults etc.: record and continue
-            print(f"FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
-            row = {"name": run[0], "algorithm": run[3], "time": "",
-                   "samples": "", "fps": "", "ms_per_frame": "",
-                   "rmse": "", "psnr": "", "error": type(e).__name__}
-        print(row, flush=True)
-        rows.append(row)
-        # Write incrementally so a later crash loses nothing.
-        keys = ["name", "algorithm", "time", "samples", "fps",
-                "ms_per_frame", "rmse", "psnr", "converged_at", "gate",
-                "error"]
-        with open(args.out, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
-            w.writeheader()
-            w.writerows(rows)
+        for sv in sweep_vals:
+            run_name, run_extra = name, dict(extra)
+            if sv is not None:
+                run_name = f"{name}[{sweep_key}={sv}]"
+                if sweep_key.startswith("IMBA_"):
+                    os.environ[sweep_key] = sv
+                else:
+                    from imbatracer_tpu.frontend.renderer import \
+                        RenderSettings
+
+                    field_t = type(getattr(RenderSettings(), sweep_key))
+                    run_extra[sweep_key] = field_t(sv)
+                print(f"-- sweep {sweep_key}={sv}", flush=True)
+            try:
+                row = run_one(run_name, scene_path, golden, algo, w, h,
+                              run_extra, seconds=budget,
+                              converge_rmse=args.converge,
+                              curve_path=curve_path,
+                              curve_every=args.curve_every)
+            except Exception as e:  # device faults etc.: record + continue
+                print(f"FAILED: {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+                row = {"name": run_name, "algorithm": run[3], "time": "",
+                       "samples": "", "fps": "", "ms_per_frame": "",
+                       "rmse": "", "psnr": "", "error": type(e).__name__}
+            print(row, flush=True)
+            rows.append(row)
+            # Write incrementally so a later crash loses nothing.
+            keys = ["name", "algorithm", "time", "samples", "fps",
+                    "ms_per_frame", "rmse", "psnr", "converged_at", "gate",
+                    "error"]
+            with open(args.out, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=keys,
+                                   extrasaction="ignore")
+                w.writeheader()
+                w.writerows(rows)
     if args.selfcheck_instances:
         print("== instances_selfcheck ==", flush=True)
         try:
