@@ -38,7 +38,7 @@ from ..camera import Camera, generate_ray
 from ..film import splat
 from ..intersect import BIG
 from ..surface import make_interaction
-from ..traverse import any_hit, closest_hit
+from ..traverse import Hit, any_hit, closest_hit
 
 
 def alpha_fn_for(scene):
@@ -73,6 +73,7 @@ def trace_paths(
     has_bump: bool = False,
     with_stats: bool = False,
     max_steps: int = 0,
+    ablate: tuple = (),
 ):
     """Trace a batch of camera paths to completion.
 
@@ -80,13 +81,22 @@ def trace_paths(
     Returns per-ray accumulated radiance (R, 3); with stats, also a scalar
     count of traced rays (closest-hit + occlusion), the quantity the
     reference's schedulers report (tile_scheduler.h:59-61).
+
+    `ablate` is a PROFILING knob (results are wrong when non-empty): a
+    static tuple of megastep components to compile out, used to attribute
+    the frame cost (scripts/profile_pt_split.py, docs/pt_perf.md).
+    Recognised: "shadow" (skip the NEE any_hit), "nee" (skip NEE
+    entirely), "emit" (skip emitter-hit shading+termination), "env",
+    "bounce" (continue straight, no BSDF sampling/RR), "trace" (skip
+    closest_hit; synthetic hit at t=1).
     """
     alpha_fn = alpha_fn_for(scene) if has_masks else None
     carry = _init_carry(org, d, state)
 
     def bounce_body(i, c):
         return _pt_bounce(scene, c, alpha_fn=alpha_fn, has_bump=has_bump,
-                          max_len=max_len, max_steps=max_steps)
+                          max_len=max_len, max_steps=max_steps,
+                          ablate=ablate)
 
     out = jax.lax.fori_loop(0, max_len, bounce_body, carry)
     if with_stats:
@@ -113,25 +123,32 @@ def _init_carry(org, d, state):
     )
 
 
-def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps):
+def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
+               ablate=()):
     """One PT bounce for every lane of the carry (trace + env/emitter MIS
     + NEE + BSDF extension).  Per-lane `depth` replaces the loop index so
     the same body drives both the plain megastep (all lanes in lockstep)
     and the regenerated wavefront (lanes at mixed depths,
-    render_pt_frame_regen)."""
+    render_pt_frame_regen).  `ablate`: see trace_paths (profiling only)."""
     num_lights = scene.lights.kind.shape[0]
     first = c["depth"] == 0
-    hit = closest_hit(
-        scene.bvh, c["org"], c["d"], c["tmin"], BIG,
-        alpha_fn=alpha_fn, active=c["active"], max_steps=max_steps,
-        sort=True,
-    )
+    if "trace" in ablate:
+        hit = Hit(t=jnp.ones_like(c["tmin"]),
+                  prim_id=jnp.zeros_like(c["depth"]),
+                  u=jnp.full_like(c["tmin"], 0.3),
+                  v=jnp.full_like(c["tmin"], 0.3))
+    else:
+        hit = closest_hit(
+            scene.bvh, c["org"], c["d"], c["tmin"], BIG,
+            alpha_fn=alpha_fn, active=c["active"], max_steps=max_steps,
+            sort=True,
+        )
     n_rays = c["n_rays"] + jnp.sum(c["active"].astype(jnp.int32))
 
     # ---- environment misses (pt.cpp:95-116) ------------------------
     miss = c["active"] & (hit.prim_id < 0)
     radiance = c["radiance"]
-    if scene.env is not None:
+    if scene.env is not None and "env" not in ablate:
         li, pdf_direct_w, _ = envmap_mod.radiance(
             scene.env, normalize(c["d"]), scene.bsphere.inv_radius_sqr
         )
@@ -149,62 +166,78 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps):
     isect = make_interaction(scene, hit, c["org"], c["d"], has_bump=has_bump)
 
     # ---- emitter hits (pt.cpp:133-151) -----------------------------
-    is_emitter = active & (isect.light_id >= 0)
-    cos_geom = dot(isect.gn, isect.w_out)
-    cos_shade = dot(isect.normal, isect.w_out)
-    emit_intensity = isect.emit
-    area = jnp.maximum(isect.area, 1e-12)
-    d_sqr = hit.t * hit.t
-    pdf_di_emit = (1.0 / area) / num_lights * d_sqr / jnp.where(
-        cos_shade <= 0.0, 1.0, cos_shade
-    )
-    w_emit = jnp.where(
-        first | c["last_specular"],
-        1.0,
-        mis_power_heuristic(c["last_pdf"], pdf_di_emit),
-    )
-    emit_ok = is_emitter & (cos_geom > 0.0) & (cos_shade > 0.0)
-    radiance = radiance + jnp.where(
-        emit_ok[..., None], c["throughput"] * emit_intensity * w_emit[..., None], 0.0
-    )
-    active = active & ~is_emitter  # emitter hits terminate (pt.cpp:152)
+    if "emit" not in ablate:
+        is_emitter = active & (isect.light_id >= 0)
+        cos_geom = dot(isect.gn, isect.w_out)
+        cos_shade = dot(isect.normal, isect.w_out)
+        emit_intensity = isect.emit
+        area = jnp.maximum(isect.area, 1e-12)
+        d_sqr = hit.t * hit.t
+        pdf_di_emit = (1.0 / area) / num_lights * d_sqr / jnp.where(
+            cos_shade <= 0.0, 1.0, cos_shade
+        )
+        w_emit = jnp.where(
+            first | c["last_specular"],
+            1.0,
+            mis_power_heuristic(c["last_pdf"], pdf_di_emit),
+        )
+        emit_ok = is_emitter & (cos_geom > 0.0) & (cos_shade > 0.0)
+        radiance = radiance + jnp.where(
+            emit_ok[..., None], c["throughput"] * emit_intensity * w_emit[..., None], 0.0
+        )
+        active = active & ~is_emitter  # emitter hits terminate (pt.cpp:152)
 
     # ---- next-event estimation (pt.cpp:17-44) ----------------------
     st = c["state"]
-    st, (ul, ua, ub) = rng_mod.next_floats(st, 3)
-    light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
-    ds = light_mod.sample_direct(
-        scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
-    )
-    f_nee = mat_mod.eval_bsdf(
-        isect.params, isect.normal, isect.gn, isect.w_out, ds.dir
-    )
-    pdf_hit = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
-    pdf_lightpick = 1.0 / num_lights
-    pdf_di = pdf_lightpick * ds.pdf_direct_w
-    w_nee = jnp.where(ds.is_delta, 1.0, pdf_di / jnp.maximum(pdf_di + pdf_hit, 1e-20))
-    contrib = (
-        c["throughput"]
-        * f_nee
-        * ds.radiance
-        * (jnp.abs(dot(isect.normal, ds.dir)) * w_nee / pdf_lightpick)[..., None]
-    )
-    shadow_ok = (
-        active
-        & (pdf_hit > 0.0)
-        & (pdf_di > 0.0)
-        & jnp.any(contrib > 0.0, axis=-1)
-    )
-    offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
-    occluded = any_hit(
-        scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
-        alpha_fn=alpha_fn, active=shadow_ok, max_steps=max_steps,
-        sort=True,
-    )
-    radiance = radiance + jnp.where((shadow_ok & ~occluded)[..., None], contrib, 0.0)
-    n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
+    if "nee" not in ablate:
+        st, (ul, ua, ub) = rng_mod.next_floats(st, 3)
+        light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
+        ds = light_mod.sample_direct(
+            scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
+        )
+        f_nee = mat_mod.eval_bsdf(
+            isect.params, isect.normal, isect.gn, isect.w_out, ds.dir
+        )
+        pdf_hit = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
+        pdf_lightpick = 1.0 / num_lights
+        pdf_di = pdf_lightpick * ds.pdf_direct_w
+        w_nee = jnp.where(ds.is_delta, 1.0, pdf_di / jnp.maximum(pdf_di + pdf_hit, 1e-20))
+        contrib = (
+            c["throughput"]
+            * f_nee
+            * ds.radiance
+            * (jnp.abs(dot(isect.normal, ds.dir)) * w_nee / pdf_lightpick)[..., None]
+        )
+        shadow_ok = (
+            active
+            & (pdf_hit > 0.0)
+            & (pdf_di > 0.0)
+            & jnp.any(contrib > 0.0, axis=-1)
+        )
+        offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
+        if "shadow" in ablate:
+            occluded = jnp.zeros_like(shadow_ok)
+        else:
+            occluded = any_hit(
+                scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
+                alpha_fn=alpha_fn, active=shadow_ok, max_steps=max_steps,
+                sort=True,
+            )
+        radiance = radiance + jnp.where((shadow_ok & ~occluded)[..., None], contrib, 0.0)
+        n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
 
     # ---- bounce (pt.cpp:46-80) -------------------------------------
+    if "bounce" in ablate:
+        # Continue straight with unchanged throughput — keeps the
+        # traversal loop alive with everything else compiled out.
+        return dict(
+            org=c["org"] + hit.t[..., None] * c["d"],
+            d=c["d"],
+            tmin=jnp.full_like(c["tmin"], 1e-3),
+            throughput=c["throughput"], radiance=radiance, active=active,
+            depth=c["depth"] + 1, last_pdf=c["last_pdf"],
+            last_specular=c["last_specular"], state=st, n_rays=n_rays,
+        )
     st, (urr, u1, u2, u3) = rng_mod.next_floats(st, 4)
     rr_pdf = russian_roulette_prob(c["throughput"])
     survive = urr < rr_pdf
@@ -287,11 +320,12 @@ def camera_rays(cam: Camera, width: int, height: int, spp: int, frame,
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_len", "has_masks",
-                     "has_bump", "with_stats", "max_steps", "band_pixels"),
+                     "has_bump", "with_stats", "max_steps", "band_pixels",
+                     "ablate"),
 )
 def _pt_band(
     scene, cam, frame, start_pixel, *, width, height, spp, max_len,
-    has_masks, has_bump, with_stats, max_steps, band_pixels,
+    has_masks, has_bump, with_stats, max_steps, band_pixels, ablate=(),
 ):
     org, d, state, pixel_id = camera_rays(
         cam, width, height, spp, frame, start_pixel=start_pixel,
@@ -300,7 +334,7 @@ def _pt_band(
     out = trace_paths(
         scene, org, d, state, max_len,
         has_masks=has_masks, has_bump=has_bump, with_stats=with_stats,
-        max_steps=max_steps,
+        max_steps=max_steps, ablate=ablate,
     )
     # pixel ids are a static permutation of start + arange(B) tiled by spp,
     # so the "scatter" is an un-permute + reshape+sum — no scatter op.
@@ -686,16 +720,19 @@ def render_pt_frame(
     has_bump: bool = False,
     with_stats: bool = False,
     max_steps: int = 0,
+    ablate: tuple = (),
 ):
     """Render one progressive frame; returns an un-normalised (H*W, 3)
     radiance-sum film (divide by frames*spp for display, as the render
     window does, render_window.cpp:99-121).  Large frames are rendered in
-    pixel bands (separate dispatches, bitwise-identical results)."""
+    pixel bands (separate dispatches, bitwise-identical results).
+    `ablate`: profiling-only component knockouts, see trace_paths."""
     frame = jnp.asarray(frame, jnp.uint32)
     num_pixels = width * height
     band = max(1, BAND_RAYS // max(spp, 1))
     num_bands = -(-num_pixels // band)
-    if _use_compact(num_bands, max_len, getattr(scene.bvh, "mode", "")):
+    if not ablate and _use_compact(num_bands, max_len,
+                                   getattr(scene.bvh, "mode", "")):
         return _render_pt_frame_compact(
             scene, cam, frame, width, height, spp, max_len, has_masks,
             has_bump, with_stats, max_steps, band,
@@ -708,6 +745,7 @@ def render_pt_frame(
             scene, cam, frame, jnp.int32(start), width=width, height=height,
             spp=spp, max_len=max_len, has_masks=has_masks, has_bump=has_bump,
             with_stats=with_stats, max_steps=max_steps, band_pixels=bp,
+            ablate=ablate,
         )
         if with_stats:
             film_part, n = out

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Round-4 TPU measurement chain #1 (sequential, one fresh process per
+# script so a device fault can't poison later entries; NO external
+# timeouts — killing a TPU client mid-claim wedges the pool, CLAUDE.md).
+# Fault-prone biggest-scene entries run LAST.
+cd /root/repo
+mkdir -p results
+echo "=== chain1 start $(date) ===" >> results/r4_chain1.log
+for s in probe_while_cost profile_pt_split r4_regen_recheck \
+         probe_dense_pallas bench_masked profile_vcm_lpc r4_pairs_ab; do
+  echo "--- $s $(date) ---" >> results/r4_chain1.log
+  python scripts/$s.py >> results/r4_chain1.log 2>&1
+  echo "--- $s exit=$? $(date) ---" >> results/r4_chain1.log
+done
+echo "=== chain1 done $(date) ===" >> results/r4_chain1.log
