@@ -7,7 +7,8 @@ cd /root/repo
 mkdir -p results
 echo "=== chain1 start $(date) ===" >> results/r4_chain1.log
 for s in probe_while_cost profile_pt_split r4_regen_recheck \
-         probe_dense_pallas bench_masked profile_vcm_lpc r4_pairs_ab; do
+         probe_dense_pallas bench_masked profile_vcm_lpc r4_pairs_ab \
+         r4_fault_order; do
   echo "--- $s $(date) ---" >> results/r4_chain1.log
   python scripts/$s.py >> results/r4_chain1.log 2>&1
   echo "--- $s exit=$? $(date) ---" >> results/r4_chain1.log
