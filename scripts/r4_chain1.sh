@@ -6,9 +6,10 @@
 cd /root/repo
 mkdir -p results
 echo "=== chain1 start $(date) ===" >> results/r4_chain1.log
-for s in probe_while_cost profile_pt_split r4_regen_recheck \
-         probe_dense_pallas bench_masked profile_vcm_lpc r4_pairs_ab \
-         r4_fault_order; do
+# Order = VERDICT priority: the two decisive experiments (PT cost split,
+# VCM lpc knob) first so a truncated chain still answers items 1-2.
+for s in profile_pt_split profile_vcm_lpc probe_while_cost r4_pairs_ab \
+         bench_masked r4_regen_recheck probe_dense_pallas r4_fault_order; do
   echo "--- $s $(date) ---" >> results/r4_chain1.log
   python scripts/$s.py >> results/r4_chain1.log 2>&1
   echo "--- $s exit=$? $(date) ---" >> results/r4_chain1.log
