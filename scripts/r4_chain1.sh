@@ -14,4 +14,9 @@ for s in profile_pt_split profile_vcm_lpc probe_while_cost r4_pairs_ab \
   python scripts/$s.py >> results/r4_chain1.log 2>&1
   echo "--- $s exit=$? $(date) ---" >> results/r4_chain1.log
 done
+# Same-hour A/B for the pairs selection (±10% session variance rule):
+# the loop above ran SEL=front (default); rerun with the round-3 mode.
+echo "--- r4_pairs_ab SEL=first $(date) ---" >> results/r4_chain1.log
+IMBA_PAIRS_SEL=first python scripts/r4_pairs_ab.py >> results/r4_chain1.log 2>&1
+echo "--- r4_pairs_ab SEL=first exit=$? $(date) ---" >> results/r4_chain1.log
 echo "=== chain1 done $(date) ===" >> results/r4_chain1.log
