@@ -48,13 +48,19 @@ DEFAULT_RUNS = [
      "", "pt", 1024, 1024, {}),
 ]
 
-# BASELINE.json config-2/4/5 proxies (the Still Life OBJ is absent from
+# BASELINE.json config-1..5 proxies (the Still Life OBJ is absent from
 # the checkout; proc:still_life is the full-material-set + env + masks
 # stand-in, scene/procedural.py::make_still_life_like).  Not in the
 # default set — enable with --proxies or --only.
 PROXY_RUNS = [
+    # config 1: CPU-reference parity run — 512^2, 4 bounces, 16 spp
+    ("still_life_pt_512_16spp", "proc:still_life", "", "pt", 512, 512,
+     {"max_path_len": 4, "spp": 16}),
     # config 2: full material set + env light, 1080p PT, 8 bounces
     ("still_life_pt_1080p", "proc:still_life", "", "pt", 1920, 1080,
+     {"max_path_len": 8}),
+    # config 3: BDPT full connections + MIS, 1080p progressive
+    ("still_life_bpt_1080p", "proc:still_life", "", "bpt", 1920, 1080,
      {"max_path_len": 8}),
     # config 4: PPM + photon hash grid, 1M photons/iter
     ("still_life_ppm_1M", "proc:still_life", "", "ppm", 1920, 1080,
