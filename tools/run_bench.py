@@ -22,6 +22,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honour a CPU request before any backend initialises: the axon TPU
+# plugin ignores JAX_PLATFORMS (plural); the working knobs are
+# JAX_PLATFORM_NAME + the config update (see tests/conftest.py).
+if "cpu" in (os.environ.get("JAX_PLATFORMS", "")
+             + os.environ.get("JAX_PLATFORM_NAME", "")):
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 SCENES = "/root/reference/test/scenes"
 REFS = "/root/reference/test/references"
 
@@ -327,10 +340,10 @@ def main():
                     "ms_per_frame", "rmse", "psnr", "converged_at", "gate",
                     "error"]
             with open(args.out, "w", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=keys,
-                                   extrasaction="ignore")
-                w.writeheader()
-                w.writerows(rows)
+                cw = csv.DictWriter(f, fieldnames=keys,
+                                    extrasaction="ignore")
+                cw.writeheader()
+                cw.writerows(rows)
     if args.selfcheck_instances:
         print("== instances_selfcheck ==", flush=True)
         try:
