@@ -168,3 +168,38 @@ def test_compact_masked_matches_banded(monkeypatch):
     b = render()
     assert np.isfinite(b).all()
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_compact_masked_matches_single_device(monkeypatch):
+    """The exact masked re-trace (while_loop over sorted compacted
+    re-dispatches) must work inside shard_map: sharded compacted render
+    of the masked scene vs the single-device banded frame."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from imbatracer_tpu.frontend.renderer import (RenderSettings,
+                                                  camera_for_scene)
+    from imbatracer_tpu.parallel import shard as shard_mod
+    from imbatracer_tpu.scene.procedural import make_masked_scene
+
+    scene, meta = make_masked_scene()
+    assert meta.has_masks
+    size = 32
+    settings = RenderSettings(width=size, height=size, spp=1, max_path_len=4)
+    cam = camera_for_scene(meta, settings)
+    mesh = shard_mod.make_mesh(jax.devices()[:8])
+
+    monkeypatch.setenv("IMBA_PT_COMPACT", "0")
+    a = np.asarray(pt_mod.render_pt_frame(
+        scene, cam, jnp.uint32(3), size, size, spp=1, max_len=4,
+        has_masks=True))
+    monkeypatch.setenv("IMBA_PT_COMPACT", "1")
+    monkeypatch.setenv("IMBA_PT_COMPACT_DEPTH", "2")
+    # 32*32/8 = 128 lanes per shard; band 32 -> 4 local bands.
+    monkeypatch.setattr(shard_mod, "BAND_RAYS", 32)
+    b = np.asarray(shard_mod.render_pt_frame_sharded(
+        scene, cam, jnp.uint32(3), size, size, mesh, spp=1, max_len=4,
+        has_masks=True))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
