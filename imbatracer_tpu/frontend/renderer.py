@@ -84,10 +84,16 @@ class ProgressiveRenderer:
         t_last_report = t_start
         t_last_dump = t_start
         frame_ms = []
+        prev = None
         while True:
             t0 = time.time()
             self.step()
-            jax.block_until_ready(self.accum)
+            # Depth-2 pipeline: block on the PREVIOUS frame while this
+            # one is in flight, so the ~33 ms tunnel round trip overlaps
+            # device work instead of serializing every frame.
+            if prev is not None:
+                jax.block_until_ready(prev)
+            prev = self.accum
             frame_ms.append((time.time() - t0) * 1000.0)
 
             elapsed = time.time() - t_start
@@ -103,6 +109,7 @@ class ProgressiveRenderer:
             if samples >= s.max_samples or elapsed >= s.max_time_sec:
                 break
 
+        jax.block_until_ready(self.accum)  # drain the in-flight frame
         elapsed = time.time() - t_start
         samples = self.frames * s.spp
         fps = self.frames / max(elapsed, 1e-9)
