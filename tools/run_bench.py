@@ -144,9 +144,16 @@ def run_one(name, scene_path, golden, algo, width, height, extra, seconds,
     t0 = time.time()
     if (converge_rmse > 0 or curve_path) and ref is not None:
         next_sample = 0.0
+        prev = None
         while time.time() - t0 < seconds:
             r.step()
-            jax.block_until_ready(r.accum)
+            # Depth-2 pipeline (same as ProgressiveRenderer.run): block
+            # on the previous frame so the tunnel round trip overlaps
+            # device work; r.image() below drains the in-flight frame
+            # when a curve sample is due.
+            if prev is not None:
+                jax.block_until_ready(prev)
+            prev = r.accum
             el = time.time() - t0
             if el >= next_sample:
                 next_sample = el + curve_every
