@@ -195,10 +195,9 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
         ds = light_mod.sample_direct(
             scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
         )
-        f_nee = mat_mod.eval_bsdf(
+        f_nee, pdf_hit, _ = mat_mod.eval_pdf_bsdf(
             isect.params, isect.normal, isect.gn, isect.w_out, ds.dir
         )
-        pdf_hit = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
         pdf_lightpick = 1.0 / num_lights
         pdf_di = pdf_lightpick * ds.pdf_direct_w
         w_nee = jnp.where(ds.is_delta, 1.0, pdf_di / jnp.maximum(pdf_di + pdf_hit, 1e-20))

@@ -235,8 +235,8 @@ def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
     cos_cam = jnp.abs(dot(cam.forward, -dir_c))
     cos_surf = jnp.abs(shading_normal_adjoint(isect.normal, isect.gn, isect.w_out, dir_c))
 
-    f = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, dir_c)
-    pdf_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, dir_c, isect.w_out)
+    f, _, pdf_rev = mat_mod.eval_pdf_bsdf(
+        isect.params, isect.normal, isect.gn, isect.w_out, dir_c)
     valid = valid & (pdf_rev > 0.0)
 
     img_to_surf = (cam.img_plane_dist ** 2 * cos_surf) / jnp.maximum(
@@ -549,9 +549,8 @@ def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
         scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
     )
     cos_i = jnp.abs(dot(isect.normal, ds.dir))
-    f = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
-    pdf_dir = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
-    pdf_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, ds.dir, isect.w_out)
+    f, pdf_dir, pdf_rev = mat_mod.eval_pdf_bsdf(
+        isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
     ok = active & (pdf_dir > 0.0) & (pdf_rev > 0.0)
 
     pdf_forward = jnp.where(ds.is_delta, 0.0, pdf_dir)
@@ -603,18 +602,16 @@ def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
     ok = ok & (dist >= base_radius)  # (vcm.cpp:516-521)
 
     # Camera-side BSDF.
-    f_cam = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, cdir)
-    pdf_cam = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, isect.w_out, cdir)
-    pdf_cam_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, cdir, isect.w_out)
+    f_cam, pdf_cam, pdf_cam_rev = mat_mod.eval_pdf_bsdf(
+        isect.params, isect.normal, isect.gn, isect.w_out, cdir)
 
     # Light-side BSDF (adjoint eval; same formulas for non-delta kinds).
     vparams = v["params"]
     vn = v["normal"]
     vgn = v["gn"]
     vout = v["w_out"]
-    f_light = mat_mod.eval_bsdf(vparams, vn, vgn, vout, -cdir)
-    pdf_light = mat_mod.pdf_bsdf(vparams, vn, vgn, vout, -cdir)
-    pdf_light_rev = mat_mod.pdf_bsdf(vparams, vn, vgn, -cdir, vout)
+    f_light, pdf_light, pdf_light_rev = mat_mod.eval_pdf_bsdf(
+        vparams, vn, vgn, vout, -cdir)
 
     ok = ok & (pdf_cam > 0) & (pdf_cam_rev > 0) & (pdf_light > 0) & (pdf_light_rev > 0)
 
@@ -690,12 +687,8 @@ def _vertex_merging(scene, cache: LightVertexCache, cache_rec, grid, isect,
             r = rec[:, w_i, :]
             ok = active & ok_w[:, w_i]
             photon_in = r[:, 4:7]
-            f = mat_mod.eval_bsdf(isect.params, isect.normal, isect.gn,
-                                  isect.w_out, photon_in)
-            pdf_dir = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn,
-                                       isect.w_out, photon_in)
-            pdf_rev = mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn,
-                                       photon_in, isect.w_out)
+            f, pdf_dir, pdf_rev = mat_mod.eval_pdf_bsdf(
+                isect.params, isect.normal, isect.gn, isect.w_out, photon_in)
             ok = ok & (pdf_dir > 0.0) & (pdf_rev > 0.0) & jnp.any(
                 f != 0.0, axis=-1)
 

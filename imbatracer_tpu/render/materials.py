@@ -48,6 +48,7 @@ from ..core.sampling import (
     INV_PI,
     PI,
     cos_hemisphere_pdf,
+    local_coordinates,
     sample_cos_hemisphere,
     to_local,
     to_world,
@@ -321,6 +322,105 @@ def pdf_bsdf(p: MatParams, n, gn, wo, wi):
     pdf = jnp.where(kind == MAT_PHONG, _phong_pdf(p["ns"], lo, li), pdf)
     pdf = jnp.where(kind == MAT_OREN_NAYAR, pdf_cos, pdf)
     return jnp.where(same_geom, pdf, 0.0)
+
+
+def _ct_eval_pdf2(ks, ns, lo, li):
+    """Cook-Torrance eval + Blinn half-vector pdf in BOTH directions
+    (brdfs.h:154-172, 216-226), sharing the half-vector, the hemisphere
+    test and the |h.z|^ns power across all three results.  Bitwise equal
+    to (_ct_eval, _ct_pdf(lo,li), _ct_pdf(li,lo)): h = lo+li is symmetric
+    and IEEE multiplication/addition are commutative bitwise."""
+    h = lo + li
+    h_len = jnp.sqrt(jnp.maximum(jnp.sum(h * h, axis=-1, keepdims=True), 1e-20))
+    h = h / h_len
+    o_dot_h_f = jnp.sum(lo * h, axis=-1)
+    o_dot_h_r = jnp.sum(li * h, axis=-1)
+    same_hemi = lo[..., 2] * li[..., 2] > 0.0
+    pow_h = jnp.power(jnp.maximum(jnp.abs(h[..., 2]), 1e-12), ns)
+
+    fr = fresnel_conductor(o_dot_h_r, 1.0, ns)  # cos_half = li.h
+    d = (ns + 2.0) / (2.0 * PI) * pow_h
+    g = _ct_g(lo, li, h)
+    denom = 4.0 * jnp.maximum(jnp.abs(li[..., 2]) * jnp.abs(lo[..., 2]), 1e-12)
+    f = ks * ((d * g * fr) / denom)[..., None]
+    f = jnp.where(same_hemi[..., None], f, 0.0)
+
+    def bpdf(o_dot_h):
+        pdf = (ns + 1.0) * pow_h / (2.0 * PI * 4.0 * jnp.maximum(o_dot_h, 1e-12))
+        return jnp.where(same_hemi & (o_dot_h > 0.0), pdf, 0.0)
+
+    return f, bpdf(o_dot_h_f), bpdf(o_dot_h_r)
+
+
+def _phong_eval_pdf2(ks, ns, lo, li, same_hemi):
+    """Phong eval + pdf sharing the lobe dot: mirror(li).lo == mirror(lo).li
+    bitwise, and the pdf is therefore direction-symmetric — one value
+    serves as both the forward and the reverse pdf (brdfs.h:56-91)."""
+    m = jnp.sum(_mirror_local(li) * lo, axis=-1)
+    cos_ro = jnp.clip(m, 0.0, 1.0)
+    val = ks * ((ns + 2.0) / (2.0 * PI) * jnp.power(cos_ro, ns))[..., None]
+    f = jnp.where(same_hemi[..., None], val, 0.0)
+    c = jnp.maximum(m, 0.0)
+    pdf = (ns + 1.0) / (2.0 * PI) * jnp.power(c, ns)
+    return f, pdf
+
+
+def eval_pdf_bsdf(p: MatParams, n, gn, wo, wi):
+    """Fused eval_bsdf(wo,wi) + pdf_bsdf(wo,wi) + pdf_bsdf(wi,wo).
+
+    MIS needs all three at every NEE / vertex-connection vertex
+    (reference: render/integrators/vcm.impala analogue vcm.cpp:488-569,
+    pt.cpp:17-44); called separately they rebuild the tangent frame six
+    times and the Blinn/Phong lobe powers three times, and XLA CSE cannot
+    merge the forward and reverse pdf graphs because the swapped operands
+    produce structurally different HLO.  This computes the ONB, the
+    geometric-side test, the half-vector and each transcendental once.
+
+    Bitwise-identical to the three separate calls
+    (tests/test_materials_fused.py).  Returns (f, pdf_fwd, pdf_rev);
+    unused outputs are dead-code-eliminated by XLA, so two-output call
+    sites pay nothing for the third.
+    """
+    t, b = local_coordinates(n)
+    def proj(v):
+        return jnp.stack(
+            [jnp.sum(v * t, axis=-1), jnp.sum(v * b, axis=-1),
+             jnp.sum(v * n, axis=-1)],
+            axis=-1,
+        )
+    lo = proj(wo)
+    li = proj(wi)
+    same_geom = dot(wo, gn) * dot(wi, gn) > 0.0
+    same_hemi = lo[..., 2] * li[..., 2] > 0.0
+    kind = p["kind"]
+
+    f_diff = _lambert_eval(p["kd"], lo, li)
+    pdf_cos_f = jnp.where(same_hemi, cos_hemisphere_pdf(jnp.abs(li[..., 2])), 0.0)
+    pdf_cos_r = jnp.where(same_hemi, cos_hemisphere_pdf(jnp.abs(lo[..., 2])), 0.0)
+
+    ct_f, ct_pdf_f, ct_pdf_r = _ct_eval_pdf2(p["ks"], p["ns"], lo, li)
+    f_glossy = 0.5 * (ct_f + f_diff)
+    pdf_glossy_f = 0.5 * (ct_pdf_f + pdf_cos_f)
+    pdf_glossy_r = 0.5 * (ct_pdf_r + pdf_cos_r)
+
+    ph_f, ph_pdf = _phong_eval_pdf2(p["ks"], p["ns"], lo, li, same_hemi)
+
+    f = jnp.zeros_like(f_diff)
+    f = where3(kind == MAT_DIFFUSE, f_diff, f)
+    f = where3(kind == MAT_GLOSSY, f_glossy, f)
+    f = where3(kind == MAT_PHONG, ph_f, f)
+    f = where3(kind == MAT_OREN_NAYAR, _oren_nayar_eval(p["kd"], p["ns"], lo, li), f)
+    f = where3(same_geom, f, jnp.zeros_like(f))
+
+    def select_pdf(pdf_cos, pdf_glossy):
+        pdf = jnp.zeros_like(pdf_cos)
+        pdf = jnp.where(kind == MAT_DIFFUSE, pdf_cos, pdf)
+        pdf = jnp.where(kind == MAT_GLOSSY, pdf_glossy, pdf)
+        pdf = jnp.where(kind == MAT_PHONG, ph_pdf, pdf)
+        pdf = jnp.where(kind == MAT_OREN_NAYAR, pdf_cos, pdf)
+        return jnp.where(same_geom, pdf, 0.0)
+
+    return f, select_pdf(pdf_cos_f, pdf_glossy_f), select_pdf(pdf_cos_r, pdf_glossy_r)
 
 
 # ------------------------------------------------------------------ sample
