@@ -57,6 +57,17 @@ def main():
             has_masks=meta.has_masks, with_stats=True, max_steps=max_steps,
         )
 
+    # One-dispatch frames (pt.use_fused_frame: 181.9 -> 102.5 ms/frame
+    # on this exact workload — the band loop unrolls inside one jit).
+    from imbatracer_tpu.render.integrators.pt import (BAND_RAYS,
+                                                      use_fused_frame)
+
+    num_bands = -(-size * size // BAND_RAYS)
+    if (render is render_pt_frame
+            and use_fused_frame(num_bands, settings.max_path_len,
+                                getattr(scene.bvh, "mode", ""))):
+        frame = jax.jit(frame)
+
     # Warmup/compile.
     film, n_rays = frame(0)
     jax.block_until_ready(film)

@@ -139,6 +139,17 @@ def make_camera_frame_fn(scene, meta, settings: RenderSettings):
                 has_bump=getattr(meta, "has_bump", False),
                 max_steps=max_steps,
             )
+
+        # One-dispatch frames: the banded Python loop unrolls inside an
+        # outer jit, removing ~80 ms/frame of tunneled dispatch overhead
+        # (pt.use_fused_frame has the measurement + gating rationale).
+        from ..render.integrators.pt import BAND_RAYS, use_fused_frame
+
+        band = max(1, BAND_RAYS // max(settings.spp, 1))
+        num_bands = -(-settings.width * settings.height // band)
+        if use_fused_frame(num_bands, settings.max_path_len,
+                           getattr(scene.bvh, "mode", "")):
+            core = jax.jit(core)
         return core, cam
 
     vcm_algo = ALGO_MAP.get(algo)

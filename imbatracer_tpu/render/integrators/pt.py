@@ -394,6 +394,32 @@ def _use_compact(num_bands: int, max_len: int, mode: str = "") -> bool:
             and mode in ("stream", "stream2"))
 
 
+def use_fused_frame(num_bands: int, max_len: int, mode: str = "") -> bool:
+    """Fuse the whole banded frame into ONE device dispatch (an outer jit
+    around the Python band loop, which then unrolls into a single graph).
+
+    Measured on cornell dense 1024² (scripts/profile_pt_split.py, r4):
+    181.9 ms/frame as per-band tunneled dispatches vs 102.5 ms fused —
+    ~80 ms/frame of host/tunnel dispatch machinery vanishes, and fusing
+    4 frames gains nothing more, so one-frame-one-dispatch is the floor.
+
+    Incompatible with mid-frame compaction (it reads the alive count on
+    the host to pick the phase-2 band count), so it applies exactly when
+    compaction is off.  Big-scene stream frames run seconds per frame
+    (dispatch overhead is noise) and a monolithic multi-band stream graph
+    is the known device-fault shape (CLAUDE.md) — so auto fuses only the
+    non-compacting TPU modes (dense/vmem/xla).  IMBA_PT_FUSE=1/0 forces."""
+    env = os.environ.get("IMBA_PT_FUSE", "auto")
+    if env == "0" or num_bands <= 1:
+        return False
+    if _use_compact(num_bands, max_len, mode):
+        return False
+    if env == "1":
+        return True
+    return (jax.default_backend() == "tpu"
+            and mode in ("dense", "vmem", "xla"))
+
+
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_len", "has_masks",

@@ -585,13 +585,40 @@ def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
              light_path_count, num_connections, max_len, *, cam_path_length,
              base_radius, alpha_fn, max_steps=0, enabled=True, defer=None):
     """One vertex connection per ray (vcm.cpp:488-569)."""
-    state, (uc,) = rng_mod.next_floats(state, 1)
     count = cache.count
     have = count > 0
-    j = jnp.minimum((uc * count.astype(jnp.float32)).astype(jnp.int32),
-                    jnp.maximum(count - 1, 0))
+    slice_rows = _connect_slice_rows()
+    if slice_rows and cache_rec.shape[0] > slice_rows:
+        # (Static branch: the extra draw happens only in slice mode, so
+        # the default path's RNG stream — and its frames — are untouched.)
+        state, (uc, us) = rng_mod.next_floats(state, 2)
+        # Locality-sliced uniform sampling (IMBA_VCM_CONNECT_SLICE=<rows>):
+        # fetch ONE contiguous-modulo window of the cache per dispatch and
+        # sample every lane inside it.  j = (s + u) mod count with
+        # s ~ U[0,count) shared and u ~ U[0,min(S,count)) per lane is
+        # marginally uniform over [0,count), so per-pixel this IS the
+        # reference's uniform vertex choice (vcm.cpp:494-496) — only
+        # cross-lane correlation changes, and s re-rolls per connection,
+        # band and bounce.  The point: the per-lane random-access gather
+        # reads an S-row buffer instead of the frame-sized cache table
+        # (vcm_perf.md §4 locality suspect).
+        denom = jnp.maximum(count, 1)
+        s = jnp.minimum((us[0] * count.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(count - 1, 0))
+        widx = (s + jnp.arange(slice_rows, dtype=jnp.int32)) % denom
+        buf = cache_rec[widx]
+        span = jnp.minimum(jnp.int32(slice_rows), denom).astype(jnp.float32)
+        jj = jnp.minimum((uc * span).astype(jnp.int32),
+                         jnp.minimum(jnp.maximum(count - 1, 0),
+                                     slice_rows - 1))
+        rec_j = buf[jj]
+    else:
+        state, (uc,) = rng_mod.next_floats(state, 1)
+        j = jnp.minimum((uc * count.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(count - 1, 0))
+        rec_j = cache_rec[j]
 
-    v = _vertex_from_rec(scene, cache_rec[j].T)   # the ONE vertex gather
+    v = _vertex_from_rec(scene, rec_j.T)   # the ONE vertex gather
     vpos = v["pos"]
     ok = active & have & (v["path_length"] + cam_path_length <= max_len)
 
@@ -821,6 +848,23 @@ def _use_vcm_compact(num_bands: int, max_len: int) -> bool:
 def vcm_compact_depth(max_len: int) -> int:
     d = int(os.environ.get("IMBA_VCM_COMPACT_DEPTH", "4"))
     return max(1, min(d, max_len - 1))
+
+
+def _connect_slice_rows() -> int:
+    """IMBA_VCM_CONNECT_SLICE=<rows>: sample connection vertices from one
+    contiguous-modulo cache window of this many rows per dispatch (0 =
+    off, plain whole-table uniform gather).  See _connect for why this is
+    estimator-neutral; it exists to test/fix the vcm_perf.md §4
+    frame-sized-table locality suspect.
+
+    Read at TRACE time: toggling the env var after a (scene-shape, statics)
+    combination has been jitted does NOT retrace — A/B it with one process
+    per value (the bench-chain convention) or monkeypatch this function
+    before first trace (tests/test_connect_slice.py)."""
+    try:
+        return int(os.environ.get("IMBA_VCM_CONNECT_SLICE", "0"))
+    except ValueError:
+        return 0
 
 
 _CAM_STATICS = (

@@ -203,3 +203,35 @@ def test_sharded_compact_masked_matches_single_device(monkeypatch):
         has_masks=True))
     assert np.isfinite(b).all()
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_frame_matches_banded(monkeypatch):
+    """One-dispatch frame (outer jit unrolling the band loop,
+    pt.use_fused_frame) is bitwise the banded render."""
+    import jax
+
+    size, lanes = 32, 256  # 4 spp x 1024 px / 256 lanes -> 16 bands
+    scene, meta = make_cornell_scene()
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size,
+                      60.0)
+    monkeypatch.setenv("IMBA_PT_COMPACT", "0")
+    monkeypatch.setattr(pt_mod, "BAND_RAYS", lanes)
+    kw = dict(spp=4, max_len=5, with_stats=True)
+    a, na = pt_mod.render_pt_frame(scene, cam, jnp.uint32(3), size, size,
+                                   **kw)
+    fused = jax.jit(lambda f: pt_mod.render_pt_frame(scene, cam, f, size,
+                                                     size, **kw))
+    b, nb = fused(jnp.uint32(3))
+    assert int(na) == int(nb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_use_fused_frame_gating(monkeypatch):
+    monkeypatch.setenv("IMBA_PT_FUSE", "1")
+    monkeypatch.setenv("IMBA_PT_COMPACT", "0")
+    assert pt_mod.use_fused_frame(4, 10, "stream")
+    monkeypatch.setenv("IMBA_PT_COMPACT", "1")
+    assert not pt_mod.use_fused_frame(4, 10, "stream")  # compaction wins
+    monkeypatch.setenv("IMBA_PT_FUSE", "0")
+    monkeypatch.setenv("IMBA_PT_COMPACT", "0")
+    assert not pt_mod.use_fused_frame(4, 10, "dense")
