@@ -21,8 +21,7 @@ import jax.numpy as jnp
 
 def main():
     from imbatracer_tpu.frontend.renderer import RenderSettings, camera_for_scene
-    from imbatracer_tpu.render.integrators.pt import (render_pt_frame,
-                                                      render_pt_frame_regen)
+    from imbatracer_tpu.render.integrators.pt import render_pt_frame
 
     cornell = "/root/reference/test/scenes/cornell/cornell_org.scene"
     if os.path.exists(cornell):
@@ -41,14 +40,12 @@ def main():
     cam = camera_for_scene(meta, settings)
     max_steps = traversal_steps(meta)
 
-    # Regenerated wavefront (render_pt_frame_regen) is OPT-IN until its
-    # per-step flush cost is fixed: first measurement 3.81 vs 24.5
-    # Mrays/s banded (see scripts/profile_regen.py).
-    import os as _os
-    render = (render_pt_frame_regen
-              if (jax.default_backend() == "tpu"
-                  and _os.environ.get("IMBA_PT_REGEN", "0") == "1")
-              else render_pt_frame)
+    # Regenerated-wavefront routing was FOLDED in round 4: re-measured
+    # after the log-based flush rework it still loses 3x (7.5 vs 24.0
+    # Mrays/s, results/r4_regen.txt); mid-frame compaction owns the
+    # lane-utilisation role.  render_pt_frame_regen remains as a
+    # test-only estimator cross-check (tests/test_regen.py).
+    render = render_pt_frame
 
     def frame(i):
         return render(

@@ -31,7 +31,14 @@ import jax.numpy as jnp
 
 from .flatten import ThreadedBvh
 
-DENSE_MAX_TRIS = 1024
+# Dense cutover: the fully unrolled exhaustive form grows the compiled
+# program linearly in triangle count, and the axon remote-compile path
+# rejects executables over protobuf's 2 GiB serialization cap — measured
+# BLOWN at ~1k tris x 262k rays (results/r4_chain1.log, probe_dense_pallas
+# big1k: "Core program byte size is: 2645732337").  128 keeps an ~8x
+# margin; the VMEM Pallas kernel covers everything up to 8k packed tris
+# with measured 144.7 Mrays/s isolated at cornell scale (r4_dense_pallas).
+DENSE_MAX_TRIS = 128
 # Chunked-loop dense ("densel") routing is OFF by default: measured on
 # TPU it LOST badly to the pair queue at 2.2k tris (cornell VCM no-merge
 # frame 4.9 s vs ~2.5 s — the fori_loop's per-iteration overhead at

@@ -109,28 +109,11 @@ def make_camera_frame_fn(scene, meta, settings: RenderSettings):
                 )
             return core, cam
 
-        # TPU single-chip: regenerated wavefront (dead lanes re-seeded
-        # from the path queue each bounce — the reference's
-        # RayQueue::compact role; ~identical estimator, fuller lanes).
-        # OPT-IN while the per-step flush cost is being profiled: the
-        # first TPU measurement came in 6x SLOWER than banded (3.8 vs
-        # 24.5 Mrays/s headline) — suspect the per-step narrow (R, 3)
-        # film scatter-add; see scripts/profile_regen.py.
-        import os as _os
-        if (jax.default_backend() == "tpu"
-                and _os.environ.get("IMBA_PT_REGEN", "0") == "1"):
-            from ..render.integrators.pt import render_pt_frame_regen
-
-            def core(frame, cam):
-                return render_pt_frame_regen(
-                    scene, cam, frame, settings.width, settings.height,
-                    spp=settings.spp, max_len=settings.max_path_len,
-                    has_masks=meta.has_masks,
-                    has_bump=getattr(meta, "has_bump", False),
-                    max_steps=max_steps,
-                )
-            return core, cam
-
+        # (Round-4 fold: the regenerated-wavefront route was removed
+        # after re-measurement — still 3x slower than banded after the
+        # log-flush rework, results/r4_regen.txt; mid-frame compaction
+        # owns the lane-utilisation role.  render_pt_frame_regen stays
+        # as a test-only estimator cross-check, tests/test_regen.py.)
         def core(frame, cam):
             return render_pt_frame(
                 scene, cam, frame, settings.width, settings.height,

@@ -170,7 +170,6 @@ def _node_fetch(table, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
     )
 
 
-DENSE_MAX_TRIS = 1024
 
 # Alpha-masked traversal on the streaming kernel: the kernel itself is
 # gather-free (Mosaic cannot do per-lane indexing, so no in-kernel texture
