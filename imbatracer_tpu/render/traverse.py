@@ -231,9 +231,20 @@ def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active,
     a miss.  Re-traces use the SORTED stream dispatch: lanes not
     re-tracing carry the max sort key and compact into trailing
     zero-work blocks (pallas_stream.sort_keys), so a round touching 2%
-    of lanes costs ~2% of a full dispatch plus the sort machinery."""
+    of lanes costs ~2% of a full dispatch plus the sort machinery.
+
+    Round 4: non-instanced stream scenes route through the K-nearest-hit
+    kernel (ops/pallas_khit.py) — each dispatch returns the 4 nearest
+    hits and the XLA side alpha-tests them together, so one dispatch
+    resolves up to 4 stacked masked layers (the one-layer-per-round
+    scheme measured 5.9x opaque cost on the leaf canopy,
+    results/bench_masked.csv).  IMBA_MASK_KHIT=0 restores the old path."""
     from ..ops.pallas_stream import closest_hit_sorted, closest_hit_stream
 
+    if (hit_fn is None and _inst(bvh) is None
+            and _os.environ.get("IMBA_MASK_KHIT", "1") != "0"):
+        return _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn,
+                                        active)
     if hit_fn is None:
         first_fn = closest_hit_sorted if sort else closest_hit_stream
         retr_fn = closest_hit_sorted
@@ -275,6 +286,60 @@ def _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn, active,
 
     _, hit, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), hit, _retrace_mask(hit)))
+    return hit
+
+
+def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
+    """Masked closest hit on the K-nearest-hit kernel: each while round
+    fetches the 4 nearest hits for the lanes still unresolved and
+    alpha-tests them together; a lane re-traces only when all 4 were
+    valid AND masked out (more surfaces may lie beyond the 4th).  Exact:
+    the kernel's K-set is gap-free (per-column slot superset argument,
+    ops/pallas_khit.py), so no surface between returned hits can be
+    skipped."""
+    from ..ops.pallas_khit import K, khit_sorted
+
+    org = _recenter(bvh, org)
+    num_r = org.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
+    act = jnp.ones((num_r,), jnp.bool_) if active is None else active
+
+    hit0 = Hit(t=jnp.full((num_r,), BIG), prim_id=jnp.full((num_r,), -1,
+                                                           jnp.int32),
+               u=jnp.zeros((num_r,)), v=jnp.zeros((num_r,)))
+
+    def cond(st):
+        k, need, _, _ = st
+        return jnp.any(need) & (k < MASK_MAX_ROUNDS)
+
+    def body(st):
+        k, need, tcur, hit = st
+        t4, u4, v4, id4 = khit_sorted(
+            bvh.sbox, bvh.tiles, org, d, jnp.where(need, tcur, tmin), tmax,
+            active=need)
+        ht, hu, hv, hid = hit.t, hit.u, hit.v, hit.prim_id
+        found = jnp.zeros_like(need)
+        for j in range(K):
+            vj = id4[:, j] >= 0
+            op = alpha_fn(jnp.maximum(id4[:, j], 0), u4[:, j], v4[:, j])
+            take = need & ~found & vj & op
+            ht = jnp.where(take, t4[:, j], ht)
+            hu = jnp.where(take, u4[:, j], hu)
+            hv = jnp.where(take, v4[:, j], hv)
+            hid = jnp.where(take, id4[:, j], hid)
+            found = found | take
+        saturated = id4[:, K - 1] >= 0
+        exhausted = need & ~found & saturated
+        miss = need & ~found & ~saturated
+        ht = jnp.where(miss, BIG, ht)
+        hid = jnp.where(miss, -1, hid)
+        new_tmin = t4[:, K - 1] + 1e-3 * jnp.maximum(t4[:, K - 1], 1e-3)
+        return (k + 1, exhausted, jnp.where(exhausted, new_tmin, tcur),
+                Hit(t=ht, prim_id=hid, u=hu, v=hv))
+
+    _, _, _, hit = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), act, tmin, hit0))
     return hit
 
 
