@@ -144,6 +144,7 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
                            if jnp.issubdtype(a.dtype, jnp.integer)
                            else fz.astype(a.dtype))
     cache0 = empty_cache(cache_capacity) if cache_in is None else cache_in
+    use_cc = algo != "ppm" and "cam_connect" in techniques
     carry = dict(
         org=es.pos + fz,  # point/dir emitter positions can be constant
         d=es.dir,
@@ -153,9 +154,14 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         finite=es.is_finite,
         d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm,
         state=state,
-        film=jnp.zeros((num_pixels, 3), jnp.float32) + fz,
         cache=jax.tree.map(_vary, cache0),
     )
+    if use_cc:
+        # Per-bounce camera-connection rows, logged and splatted ONCE
+        # after the loop (a scatter-add per fori iteration de-vectorises,
+        # ~13 ms/step measured — CLAUDE.md, pt regen flush lesson).
+        carry["cc"] = jnp.zeros((max_len, L, 3), jnp.float32) + fz
+        carry["cp"] = jnp.full((max_len, L), -1, jnp.int32) + iz
 
     def body(i, c):
         hit = closest_hit(scene.bvh, c["org"], c["d"], c["tmin"], BIG,
@@ -177,7 +183,6 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         d_vm = c["d_vm"] * inv_cos
 
         non_spec = ~mat_mod.is_specular(isect.params)
-        film = c["film"]
         cache = c["cache"]
 
         # Store vertices for connection/merging (vcm.cpp:237-246).
@@ -189,16 +194,22 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
                 jnp.full((L,), i + 2, jnp.int32), path_id,
             )
 
+        out = dict(finite=c["finite"], cache=cache)
+
         # Connect every non-specular vertex to the camera (vcm.cpp:260-320).
         # NB: normalise by the GLOBAL light_path_count, not the band size
         # L — banding must not change the estimator (a 1024² frame runs
         # the light pass in multiple bands).
-        if algo != "ppm" and "cam_connect" in techniques:
-            film = film + _connect_to_camera(
+        if use_cc:
+            contrib, pix = _connect_to_camera(
                 scene, cam, isect, c["throughput"], d_vc, d_vcm,
                 active & non_spec, mis_eta_vm, light_path_count, num_pixels,
                 algo, alpha_fn, max_steps,
             )
+            out["cc"] = jax.lax.dynamic_update_slice(
+                c["cc"], contrib[None], (i, 0, 0))
+            out["cp"] = jax.lax.dynamic_update_slice(
+                c["cp"], pix[None], (i, 0))
 
         # Adjoint bounce (vcm.cpp:134-190).
         st = c["state"]
@@ -207,14 +218,20 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
             hit, mis_eta_vc, mis_eta_vm, adjoint=True, algo=algo,
             last_bounce=(i + 1 >= max_len),
         )
-        return dict(
+        out.update(
             org=org, d=d, tmin=tmin, throughput=throughput, active=active,
-            finite=c["finite"], d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm, state=st,
-            film=film, cache=cache,
+            d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm, state=st,
         )
+        return out
 
     out = jax.lax.fori_loop(0, max_len, body, carry)
-    return out["film"], out["cache"]
+    if use_cc:
+        film = splat(out["cc"].reshape(-1, 3), out["cp"].reshape(-1),
+                     num_pixels)
+    else:
+        # + fz: keep the output device-varying under shard_map.
+        film = jnp.zeros((num_pixels, 3), jnp.float32) + fz
+    return film, out["cache"]
 
 
 def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
@@ -256,8 +273,12 @@ def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
                        alpha_fn=alpha_fn, active=valid, max_steps=max_steps,
                        sort=True)
     ok = valid & ~occluded
-    return splat(jnp.where(ok[..., None], contrib, 0.0),
-                 jnp.where(ok, pixel, -1), num_pixels)
+    # Returned as (contrib, pixel) rows, NOT splatted here: a per-bounce
+    # scatter-add inside the light-pass fori body de-vectorises (~13 ms/
+    # step measured, CLAUDE.md) — the caller logs rows per bounce and
+    # applies ONE scatter after the loop (same fix as pt's regen flush).
+    return (jnp.where(ok[..., None], contrib, 0.0),
+            jnp.where(ok, pixel, -1))
 
 
 def _bounce(scene, isect, throughput, d_vc, d_vcm, d_vm, active, state, hit,
