@@ -1,0 +1,91 @@
+"""Gather-free row fetch for small tables (bit-exact).
+
+Dynamic per-lane gathers lower near-serially on this TPU: a flat
+~3.3 ms per 1M lanes regardless of table size or width (CLAUDE.md
+design rule).  The PT cost split (results/r4_pt_split.txt) shows the
+per-bounce record fetches — not traversal math — dominate the fused
+dense cornell frame.  For *small* tables there are two cheaper, exact
+formulations:
+
+- ``select``: a statically unrolled where-chain over the rows (the
+  lights-table trick, render/lights.py::_fetch_rows).  Pure VPU
+  selects, ~free for tables up to a few dozen rows.
+- ``mxu``: a one-hot matmul.  Each f32 payload word is bitcast to
+  uint32 and split into its two 16-bit halves; each half (an integer
+  <= 65535, exactly representable in f32) is fetched with
+  ``onehot @ half`` under ``Precision.HIGHEST`` (the bf16x3 operand
+  split is lossless for 24-bit mantissas, and each output sums exactly
+  one nonzero product), then the halves are reassembled and bitcast
+  back.  The round trip is BIT-EXACT for every payload — floats,
+  bitcast ints, NaN, denormals — so callers can swap it in without any
+  estimator or layout change.
+
+Reference role: these replace the per-hit ``calculate_intersection``
+loads (reference: render/integrators/integrator.h:71-123) on the TPU's
+terms — feed the MXU instead of fighting the gather unit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# Row-count ceilings per tier (env-tunable for A/B runs).
+SELECT_MAX_ROWS = int(os.environ.get("IMBA_TAKE_SELECT_MAX", "64"))
+MXU_MAX_ROWS = int(os.environ.get("IMBA_TAKE_MXU_MAX", "2048"))
+# Routing override: "auto" | "gather" | "select" | "mxu".
+TAKE_MODE = os.environ.get("IMBA_TAKE", "gather")
+
+
+def take_rows_select(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(T, K) table, (R,) i32 idx -> (K, R) via an unrolled select chain."""
+    T = table.shape[0]
+    rec_t = jnp.broadcast_to(table[0][:, None], (table.shape[1],) + idx.shape)
+    for r in range(1, T):
+        rec_t = jnp.where((idx == r)[None, :], table[r][:, None], rec_t)
+    return rec_t
+
+
+def take_rows_mxu(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(T, K) f32 table, (R,) i32 idx -> (K, R), bit-exact one-hot matmul."""
+    T = table.shape[0]
+    bits = jax.lax.bitcast_convert_type(table, jnp.uint32)
+    hi = (bits >> 16).astype(jnp.float32)
+    lo = (bits & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    onehot = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]).astype(
+        jnp.float32)
+    # HIGHEST: the bf16x3 operand split reconstructs 24-bit mantissas
+    # exactly, and one-hot rows make every output a single product.
+    dot = lambda m: jax.lax.dot(onehot, m,
+                                precision=jax.lax.Precision.HIGHEST)
+    h = dot(hi)
+    l = dot(lo)
+    out = (jnp.round(h).astype(jnp.uint32) << 16) | jnp.round(l).astype(
+        jnp.uint32)
+    return jax.lax.bitcast_convert_type(out, jnp.float32).T
+
+
+def take_rows_t(table: jnp.ndarray, idx: jnp.ndarray,
+                mode: str | None = None) -> jnp.ndarray:
+    """Fetch rows of a (T, K) f32 table at per-lane indices, transposed.
+
+    Returns (K, R) — the transposed wide-record form every shading
+    consumer wants (row slices of (K, R) are contiguous; column
+    extracts of (R, K) are cross-lane shuffles, ~6x slower).
+
+    mode=None uses the IMBA_TAKE env routing; "auto" picks the
+    cheapest exact tier by row count.  All tiers are bit-exact, so
+    routing is a pure performance decision.
+    """
+    mode = TAKE_MODE if mode is None else mode
+    T = table.shape[0]
+    if mode == "auto":
+        mode = ("select" if T <= SELECT_MAX_ROWS
+                else "mxu" if T <= MXU_MAX_ROWS else "gather")
+    if mode == "select":
+        return take_rows_select(table, idx)
+    if mode == "mxu":
+        return take_rows_mxu(table, idx)
+    return table[idx].T

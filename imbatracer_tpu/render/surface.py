@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..core.sampling import local_coordinates
 from ..core.vecmath import dot, normalize
+from ..ops.take import take_rows_t
 from ..scene.textures import sample_bilinear
 from . import materials as mat_mod
 from .traverse import Hit
@@ -52,9 +53,11 @@ def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> Surface
     """Gather per-hit shading data with a single wide-record gather.
     `hit.prim_id` < 0 rows produce garbage that callers must mask."""
     prim = jnp.maximum(hit.prim_id, 0)
-    # One gather, transposed once: row slices of (48, R) are contiguous
-    # (column extracts of (R, 48) are cross-lane shuffles, ~6x slower).
-    rec_t = scene.attrs.shade_rec[prim].T
+    # One logical fetch, transposed once: row slices of (48, R) are
+    # contiguous (column extracts of (R, 48) are cross-lane shuffles,
+    # ~6x slower).  take_rows_t routes small tables to gather-free
+    # bit-exact forms (select chain / one-hot MXU) under IMBA_TAKE.
+    rec_t = take_rows_t(scene.attrs.shade_rec, prim)
     row3 = lambda c: rec_t[c:c + 3].T
     row2 = lambda c: rec_t[c:c + 2].T
     bits = lambda c: jax.lax.bitcast_convert_type(rec_t[c], jnp.int32)
