@@ -164,6 +164,37 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
     active = c["active"] & ~miss
 
     isect = make_interaction(scene, hit, c["org"], c["d"], has_bump=has_bump)
+    if "interaction" in ablate:
+        # Profiling only: synthesize the interaction from per-lane hit
+        # data so XLA DCEs the shade-record fetch but every downstream
+        # consumer (emit/NEE/bounce math) stays live and lane-varying.
+        from ..surface import SurfaceInteraction
+        from .. import materials as _mm
+
+        # Lane-varying but always in w_out's hemisphere (a random fake
+        # normal kills every lane through the hemisphere validity
+        # checks in sample_bsdf).
+        n_fake = normalize(2.0 * isect.w_out
+                           + 0.3 * jnp.sin(17.0 * isect.pos))
+        isect = SurfaceInteraction(
+            pos=isect.pos, w_out=isect.w_out, normal=n_fake, gn=n_fake,
+            uv=jnp.stack([hit.u, hit.v], -1),
+            mat_id=jnp.zeros_like(hit.prim_id),
+            light_id=hit.prim_id % 7 - 5,
+            emit=jnp.broadcast_to(jnp.float32(0.5), isect.pos.shape)
+            * (1.0 + 0.0 * hit.t[..., None]),
+            area=jnp.abs(hit.u) + 0.5,
+            params=_mm.MatParams(
+                kind=jnp.zeros_like(hit.prim_id),
+                kd=0.25 + 0.5 * jnp.abs(n_fake),
+                ks=0.1 + 0.0 * n_fake, tf=0.0 * n_fake,
+                ns=10.0 + hit.u, ior=1.3 + 0.0 * hit.u,
+                emit=0.5 + 0.0 * n_fake,
+                kd_tex=jnp.zeros_like(hit.prim_id) - 1,
+                bump_tex=jnp.zeros_like(hit.prim_id) - 1,
+                mask_tex=jnp.zeros_like(hit.prim_id) - 1,
+            ),
+        )
 
     # ---- emitter hits (pt.cpp:133-151) -----------------------------
     if "emit" not in ablate:

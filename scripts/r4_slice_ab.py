@@ -43,6 +43,7 @@ def log(line):
 def main():
     os.makedirs("/root/repo/results", exist_ok=True)
     slice_rows = os.environ.get("IMBA_VCM_CONNECT_SLICE", "0")
+    take = os.environ.get("IMBA_TAKE", "gather")
     scene, meta = build_scene(
         "/root/reference/test/scenes/cornell/cornell_specular.scene",
         quiet=True)
@@ -62,7 +63,7 @@ def main():
         jax.block_until_ready(film)
         ms = (time.time() - t0) / frames * 1e3
         log(f"slice={slice_rows:>6s} {algo:3s} [{size}]: {ms:8.1f} ms/frame"
-            f"  (compile {cs:.0f}s, compact=OFF)")
+            f"  (compile {cs:.0f}s, compact=OFF, take={take})")
 
 
 if __name__ == "__main__":
