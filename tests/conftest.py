@@ -26,6 +26,23 @@ REFERENCE_SCENES = "/root/reference/test/scenes"
 REFERENCE_IMAGES = "/root/reference/test/references"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Free in-process executables after each test module.
+
+    The full suite (~115 tests, hundreds of loaded CPU executables)
+    segfaults the XLA CPU compiler inside backend_compile_and_load on a
+    late big compile (test_scene_build::test_still_life_proxy_scene) —
+    the same test passes in isolation, so the crash is accumulated
+    in-process compiler/JIT state, not the graph itself.  Dropping the
+    Python-side caches between modules releases the loaded executables
+    (and their exec-page mappings); the persistent disk cache above
+    makes the re-compiles cheap.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def cornell_scene_path():
     import os.path
