@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-4 TPU chain #7: final quality evidence.  Quiet 30 s rows with
+# proxies + instancing selfcheck, then convergence gates at
+# reference-scale budgets (the reference gates pt/bpt/vcm for 1 h each,
+# test/run_bench.py:254-296; its own cornell goldens took 30 min-1 h to
+# render).  Launch AFTER chain6's routing decisions are committed.
+# Sequential, fresh process per entry, NO external timeouts.
+cd /root/repo
+mkdir -p results
+LOG=results/r4_chain7.log
+echo "=== chain7 start $(date) ===" >> $LOG
+
+while kill -0 "$(cat /tmp/chain6.pid 2>/dev/null)" 2>/dev/null; do
+  sleep 30
+done
+
+run() {
+  echo "--- $* $(date) ---" >> $LOG
+  "$@" >> $LOG 2>&1
+  echo "--- exit=$? $(date) ---" >> $LOG
+}
+
+# 1. Quiet 30 s rows: default cornell set + BASELINE config proxies +
+#    instanced-vs-flattened selfcheck.
+run python tools/run_bench.py -t 30 --proxies --selfcheck-instances \
+    -o results/bench_r4.csv
+# 2. Convergence gates, reference budgets (threshold 0.0118 ~ 38.6 dB,
+#    the r3 PT pass level).  pt converges in ~75 s; bpt/vcm get the
+#    reference's hour.
+run python tools/run_bench.py --converge 0.0118 \
+    --gate-budgets pt=300,bpt=3600,vcm=2400 --only cornell_pt \
+    --curve-dir results/curves_r4 -o results/bench_r4_gate.csv
+run python tools/run_bench.py --converge 0.0118 \
+    --gate-budgets pt=300,bpt=3600,vcm=2400 --only cornell_bpt \
+    --curve-dir results/curves_r4 -o results/bench_r4_gate_bpt.csv
+run python tools/run_bench.py --converge 0.0118 \
+    --gate-budgets pt=300,bpt=3600,vcm=2400 --only cornell_vcm \
+    --curve-dir results/curves_r4 -o results/bench_r4_gate_vcm.csv
+# 3. Headline refresh in a quiet fresh process.
+run python bench.py
+
+echo "=== chain7 done $(date) ===" >> $LOG
