@@ -34,9 +34,14 @@ import jax.numpy as jnp
 
 # Row-count ceilings per tier (env-tunable for A/B runs).
 SELECT_MAX_ROWS = int(os.environ.get("IMBA_TAKE_SELECT_MAX", "64"))
-MXU_MAX_ROWS = int(os.environ.get("IMBA_TAKE_MXU_MAX", "2048"))
+# Measured (results/r4_chain6.log): mxu wins the fused dense cornell
+# frame at 36 rows (88.2 vs 102.5 ms gather, 93.2 select) and loses
+# ~2.5% at 2188 rows (slice_ab take=mxu rows).  The cost model (2 f32
+# HIGHEST dots of R x T x 48) crosses the ~0.9 ms/262k-lane gather
+# around T~1k; 512 is the conservative default ceiling.
+MXU_MAX_ROWS = int(os.environ.get("IMBA_TAKE_MXU_MAX", "512"))
 # Routing override: "auto" | "gather" | "select" | "mxu".
-TAKE_MODE = os.environ.get("IMBA_TAKE", "gather")
+TAKE_MODE = os.environ.get("IMBA_TAKE", "auto")
 
 
 def take_rows_select(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -82,8 +87,13 @@ def take_rows_t(table: jnp.ndarray, idx: jnp.ndarray,
     mode = TAKE_MODE if mode is None else mode
     T = table.shape[0]
     if mode == "auto":
-        mode = ("select" if T <= SELECT_MAX_ROWS
-                else "mxu" if T <= MXU_MAX_ROWS else "gather")
+        # TPU-only: CPU gathers are fast and the one-hot matmul is not.
+        # The select tier measured SLOWER than mxu even at 36 rows
+        # (93.2 vs 88.2 ms/frame, r4_chain6) so auto never picks it.
+        if jax.default_backend() == "tpu" and T <= MXU_MAX_ROWS:
+            mode = "mxu"
+        else:
+            mode = "gather"
     if mode == "select":
         return take_rows_select(table, idx)
     if mode == "mxu":
