@@ -50,7 +50,8 @@ def main():
     jax.block_until_ready(r.accum)
     print(f"first frame (compile): {time.time()-t0:.1f}s")
     img = r.run(quiet=True)
-    r.save("/tmp/golden_check.png")
+    tag = os.path.basename(scene_path).split(".")[0]
+    r.save(f"/tmp/golden_check_{tag}.png")
 
     ref = load_reference_png(golden_path)
     if ref.shape[:2] != img.shape[:2]:

@@ -48,15 +48,23 @@ DEFAULT_RUNS = [
      f"{REFS}/ref_cornell_org.png", "pt", 1024, 1024, {}),
     ("cornell_bpt", f"{SCENES}/cornell/cornell_indirect.scene",
      f"{REFS}/ref_cornell_indirect.png", "bpt", 1024, 1024, {}),
+    # radius_factor 2.0 = the reference BENCH setting (cmd_line.h:70
+    # default, no -r in test/run_bench.py's arg sweep).  The 0.003 these
+    # rows used through round 3 came from render_refs.sh, which renders
+    # the GOLDENS with a near-zero merge radius to keep them unbiased —
+    # benching with it cripples vertex merging (the gather radius misses
+    # every photon) and was the VCM-family quality wall (r4_pt_goldens:
+    # even PT floors at 20-21 dB on these caustic scenes at bench
+    # budgets; VCM needs its merge technique to converge them).
     ("cornell_vcm", f"{SCENES}/cornell/cornell_specular.scene",
      f"{REFS}/ref_cornell_specular.png", "vcm", 1024, 1024,
-     {"radius_factor": 0.003}),
+     {"radius_factor": 2.0}),
     ("cornell_vcm_front", f"{SCENES}/cornell/cornell_specular_front.scene",
      f"{REFS}/ref_cornell_specular_front.png", "vcm", 1024, 1024,
-     {"radius_factor": 0.003}),
+     {"radius_factor": 2.0}),
     ("cornell_water_vcm", f"{SCENES}/cornell/cornell_water.scene",
      f"{REFS}/ref_cornell_water.png", "vcm", 1024, 1024,
-     {"radius_factor": 0.003}),
+     {"radius_factor": 2.0}),
     ("cornell_instances_pt", f"{SCENES}/cornell/cornell_instances.scene",
      "", "pt", 1024, 1024, {}),
 ]
