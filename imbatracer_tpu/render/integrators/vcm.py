@@ -24,7 +24,23 @@ Deviations (documented): light paths are capped at `max_len` bounces (the
 reference relies on Russian roulette alone, vcm.cpp:140-190 — a static
 loop bound is required for jit, and connections beyond max_len are
 filtered in both); the vertex cache is a fixed-capacity scatter-append
-instead of a probe-sized atomic append (light_vertices.cpp:15-129).
+instead of a probe-sized atomic append (light_vertices.cpp:15-129);
+light paths TERMINATE at emitter surfaces.  The reference's light pass
+does not (process_light_rays, vcm.cpp:213-254 has no emitter check — a
+light path that re-hits a lamp bounces off the lamp's diffuse MTL
+material), while its camera pass terminates at every emitter hit
+(vcm.cpp:394-412).  The two passes therefore integrate DIFFERENT
+transport wherever a lamp can be re-hit, and the converged image
+becomes a sampling-parameter-dependent mixture: on cornell_indirect
+(lamp facing the ceiling 0.2 units away) the reference's own
+estimators disagree — our faithful transcription measured LT +17.3%,
+BPT +10.7% vs dedicated PT with the BPT mean moving with
+light_path_count (1.079 @ 8k -> 1.133 @ 131k, results/r4_bias{4,5}),
+and the reference's shipped BPT golden sits +14% linear above PT.
+Terminating light paths at emitters makes every algorithm in the
+family integrate the camera-pass transport (lamps absorb), which is
+what the dedicated path tracers on BOTH sides and the PT-rendered
+cornell_org golden define as truth.
 
 The wavefront structure mirrors pt.py: each pass is a fori_loop megastep
 over fixed-size ray batches with lane masks.
@@ -173,6 +189,11 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
 
         cos_o = jnp.abs(dot(isect.w_out, isect.normal))
         active = active & (cos_o > 0.0)
+        # Terminate at emitter surfaces so the light pass integrates the
+        # same transport as the camera pass (which terminates at every
+        # emitter hit) — deliberate deviation from the reference, see
+        # module docstring "Deviations" + results/r4_bias{4,5}.txt.
+        active = active & (isect.light_id < 0)
 
         # Complete the partial weights (vcm.cpp:228-234).
         t_sqr = hit.t * hit.t

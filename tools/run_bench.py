@@ -48,6 +48,14 @@ DEFAULT_RUNS = [
      f"{REFS}/ref_cornell_org.png", "pt", 1024, 1024, {}),
     ("cornell_bpt", f"{SCENES}/cornell/cornell_indirect.scene",
      f"{REFS}/ref_cornell_indirect.png", "bpt", 1024, 1024, {}),
+    # The indirect golden embeds the reference light pass's extra
+    # lamp-rebounce transport (+14% linear vs consistent transport —
+    # vcm.py module docstring, results/r4_bias5.txt), so the row above
+    # ceilings near ~32 dB for ANY consistent estimator.  This row gates
+    # bpt against the PT-rendered org golden, which both sides'
+    # dedicated path tracers agree on.
+    ("cornell_bpt_org", f"{SCENES}/cornell/cornell_org.scene",
+     f"{REFS}/ref_cornell_org.png", "bpt", 1024, 1024, {}),
     # radius_factor 2.0 = the reference BENCH setting (cmd_line.h:70
     # default, no -r in test/run_bench.py's arg sweep).  The 0.003 these
     # rows used through round 3 came from render_refs.sh, which renders
