@@ -46,7 +46,19 @@ class RenderSettings:
     intermediate_time: float = float("inf")
 
     def resolved_light_path_count(self):
-        return self.light_path_count or (self.width * self.height) // 2
+        if self.light_path_count:
+            return self.light_path_count
+        # Reference default is width*height/2 (cmd_line.h:237-239).  On TPU
+        # the light pass + frame-sized vertex-cache tables dominate the VCM
+        # frame at high resolutions, and the estimator is unbiased for ANY
+        # light-path count (MIS weights carry 1/lpc explicitly), so fewer,
+        # cheaper frames win at a fixed wall-clock budget: measured at 1024²
+        # lpc 524288->131072 gives 13.2->5.1 s/frame at equal-or-better 30 s
+        # PSNR on cornell_vcm AND vcm_front (results/r4_lpc_quality.csv).
+        # Cap the *default* only; an explicit --light-path-count still wins.
+        import os
+        cap = int(os.environ.get("IMBA_VCM_LPC_CAP", str(1 << 17)))
+        return min((self.width * self.height) // 2, cap)
 
 
 class ProgressiveRenderer:

@@ -97,6 +97,13 @@ PROXY_RUNS = [
     # config 5: VCM on an instanced multi-mesh scene, 1080p
     ("instances_vcm_1080p", f"{SCENES}/cornell/cornell_instances.scene",
      "", "vcm", 1920, 1080, {}),
+    # Diagnostics for the bench_r4.csv remote-compile failures on the
+    # two rows above (HTTP 500 from tpu_compile_helper within ~30 s):
+    # scale bisect (512^2 bpt) and photon-count bisect (1080p ppm at
+    # the capped default lpc instead of the config-4 1M).
+    ("still_life_bpt_512", "proc:still_life", "", "bpt", 512, 512, {}),
+    ("still_life_ppm_131k", "proc:still_life", "", "ppm", 1920, 1080,
+     {"light_path_count": 1 << 17}),
 ]
 
 PROC_SCENES = {
