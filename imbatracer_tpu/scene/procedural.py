@@ -459,7 +459,8 @@ def make_leaf_scene(num_leaves: int = 6000, seed: int = 0):
 
 
 def make_still_life_like(num_objects: int = 8300, num_cards: int = 400,
-                         seed: int = 3):
+                         seed: int = 3, with_env: bool = True,
+                         specular_share: bool = True):
     """Config-2/4 proxy workload (BASELINE.json; the real still_life.obj is
     absent from the reference checkout — only its .scene/.mtl ship).
 
@@ -469,7 +470,11 @@ def make_still_life_like(num_objects: int = 8300, num_cards: int = 400,
     sun disc (importance sampling matters, light.h:412-470), an area
     light, and an alpha-masked foliage patch — at >=100k triangles, sized
     for 1920x1080 rendering (reference workload definitions:
-    test/run_bench.py:58-111, configs 2/4/5)."""
+    test/run_bench.py:58-111, configs 2/4/5).
+
+    `with_env`/`specular_share`/`num_cards=0` toggle the env light, the
+    non-diffuse material kinds, and the masked cards — bisect knobs for
+    the still_life VCM-family remote-compile failure (bench_r4.csv)."""
     rs = np.random.RandomState(seed)
     tris = []
     S = 30.0
@@ -488,9 +493,12 @@ def make_still_life_like(num_objects: int = 8300, num_cards: int = 400,
 
     # Object field: boxes (12 tris each) drawing from the full material
     # set; specular kinds kept to a realistic minority share.
-    mats = [white, red, green, mirror_m, glass_m, glossy_m, phong_m,
-            onayar_m]
-    probs = [0.30, 0.14, 0.14, 0.08, 0.08, 0.10, 0.08, 0.08]
+    if specular_share:
+        mats = [white, red, green, mirror_m, glass_m, glossy_m, phong_m,
+                onayar_m]
+        probs = [0.30, 0.14, 0.14, 0.08, 0.08, 0.10, 0.08, 0.08]
+    else:
+        mats, probs = [white, red, green], [0.5, 0.25, 0.25]
     for _ in range(num_objects):
         c = (rs.uniform(-S, S), rs.uniform(0.2, 8.0), rs.uniform(-S, S))
         sz = tuple(rs.uniform(0.2, 1.2, 3))
@@ -558,6 +566,9 @@ def make_still_life_like(num_objects: int = 8300, num_cards: int = 400,
         dict(base, kind=mat_mod.MAT_DIFFUSE, kd=(0.8, 0.8, 0.8),
              emit=emit_intensity),
     ]
+    if not specular_share:               # bisect: all-diffuse variant
+        mat_rows[floor_m] = dict(base, kind=mat_mod.MAT_DIFFUSE,
+                                 kd=(0.55, 0.5, 0.42))
     light_rows = []
     for ti in np.nonzero(mat_id == lightm)[0]:
         nn = np.cross(v1[ti] - v0[ti], v2[ti] - v0[ti])
@@ -570,21 +581,23 @@ def make_still_life_like(num_objects: int = 8300, num_cards: int = 400,
 
     # HDR sky: horizon-to-zenith gradient + a bright sun disc (concentrated
     # energy so env importance sampling is load-bearing, light.h:412-470).
-    from ..render.envmap import build_envmap
+    env = None
+    if with_env:
+        from ..render.envmap import build_envmap
 
-    eh, ew = 64, 128
-    tt = (np.arange(eh, dtype=np.float32) + 0.5) / eh          # 0=up pole
-    sky = np.zeros((eh, ew, 3), np.float32)
-    zen = np.array([0.25, 0.45, 0.9], np.float32)
-    hor = np.array([0.9, 0.8, 0.7], np.float32)
-    sky[:] = zen[None, None] * (1 - tt)[:, None, None] + \
-        hor[None, None] * tt[:, None, None]
-    # Sun at ~40 deg elevation: small, ~200x the sky radiance.
-    sy, sx = int(eh * 0.28), int(ew * 0.8)
-    sky[max(sy - 1, 0): sy + 2, max(sx - 1, 0): sx + 2] = (180.0, 160.0,
-                                                           120.0)
-    env = build_envmap(sky, (1.0, 1.0, 1.0))
-    light_rows.append(dict(kind=light_mod.LIGHT_ENV, intensity=(1, 1, 1)))
+        eh, ew = 64, 128
+        tt = (np.arange(eh, dtype=np.float32) + 0.5) / eh      # 0=up pole
+        sky = np.zeros((eh, ew, 3), np.float32)
+        zen = np.array([0.25, 0.45, 0.9], np.float32)
+        hor = np.array([0.9, 0.8, 0.7], np.float32)
+        sky[:] = zen[None, None] * (1 - tt)[:, None, None] + \
+            hor[None, None] * tt[:, None, None]
+        # Sun at ~40 deg elevation: small, ~200x the sky radiance.
+        sy, sx = int(eh * 0.28), int(ew * 0.8)
+        sky[max(sy - 1, 0): sy + 2, max(sx - 1, 0): sx + 2] = (180.0, 160.0,
+                                                               120.0)
+        env = build_envmap(sky, (1.0, 1.0, 1.0))
+        light_rows.append(dict(kind=light_mod.LIGHT_ENV, intensity=(1, 1, 1)))
 
     # Disc mask for the cards.
     m = 64
@@ -600,7 +613,7 @@ def make_still_life_like(num_objects: int = 8300, num_cards: int = 400,
     meta = SceneMeta(
         name=f"procedural_still_life_{num_objects}",
         num_tris=F, num_materials=len(mat_rows), num_lights=len(light_rows),
-        num_textures=1, has_env=True, has_masks=True,
+        num_textures=1, has_env=with_env, has_masks=num_cards > 0,
         cam_pos=(0.0, 10.0, 42.0), cam_dir=(0.0, -0.18, -1.0),
         cam_up=(0.0, 1.0, 0.0), bvh_stats=scene.bvh_stats,
     )
