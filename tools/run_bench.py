@@ -154,6 +154,12 @@ def run_one(name, scene_path, golden, algo, width, height, extra, seconds,
     # Compile outside the timed budget, like the reference excludes startup.
     r.step()
     jax.block_until_ready(r.accum)
+    # Also warm the tonemap jit image() uses: its first call is a fresh
+    # remote compile (~30-75 s through the tunnel) that otherwise lands
+    # inside the timed region — run()'s trailing image(), or the first
+    # curve sample in converge mode (measured: cornell_vcm 30 s budget
+    # reported as 111 s elapsed, r4_chain8.log).
+    r.image()
     r.reset()
 
     ref = None
