@@ -23,11 +23,19 @@ run() {
   echo "--- exit=$? $(date) ---" >> $LOG
 }
 
+# 0. VCM gate at the reference-faithful 1 h budget (the reference gates
+#    each algorithm for 1 h, test/run_bench.py:254-296; chain8's 2400 s
+#    run reached RMSE 0.01415 vs the 0.0118 target with the curve still
+#    creeping — projected PASS near ~3400-3600 s at 6.7 s/frame).
+run python tools/run_bench.py --converge 0.0118 \
+    --gate-budgets vcm=3600 --only 'cornell_vcm$' \
+    --curve-dir results/curves_r4 -o results/bench_r4_gate_vcm3600.csv
+
 # 1. lpc sweep below the cap (cornell_vcm also runs vcm_front via the
 #    substring match; bpt row covers the connect-heavy estimator).
-run python tools/run_bench.py -t 30 --only cornell_vcm \
+run python tools/run_bench.py -t 30 --only 'cornell_vcm$' \
     --sweep light_path_count=65536,32768 -o results/r4_lpc_sweep_vcm.csv
-run python tools/run_bench.py -t 30 --only cornell_bpt_org \
+run python tools/run_bench.py -t 30 --only 'cornell_bpt_org$' \
     --sweep light_path_count=131072,65536 -o results/r4_lpc_sweep_bpt.csv
 
 # 2. Headline, quiet fresh process.

@@ -328,8 +328,14 @@ def main():
     if args.proxies or args.only:
         runs += PROXY_RUNS
     for run in runs:
-        if args.only and args.only not in run[0]:
-            continue
+        # --only is a substring filter; a trailing '$' requests an exact
+        # name match (cornell_vcm also substring-matches cornell_vcm_front).
+        if args.only:
+            if args.only.endswith("$"):
+                if run[0] != args.only[:-1]:
+                    continue
+            elif args.only not in run[0]:
+                continue
         if args.only == "" and run in PROXY_RUNS and not args.proxies:
             continue
         if not run[1].startswith("proc:") and not os.path.exists(run[1]):
