@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--variant", required=True, choices=sorted(VARIANTS))
     ap.add_argument("--algo", default="bpt")
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--lpc", type=int, default=0,
+                    help="light_path_count override (0 = default): separates "
+                         "light-pass scale from camera-pass scale")
     args = ap.parse_args()
 
     import jax
@@ -66,18 +69,21 @@ def main():
     backend = jax.default_backend()
     scene, meta = make_still_life_like(**VARIANTS[args.variant])
     settings = RenderSettings(width=args.size, height=args.size, spp=1,
-                              algorithm=args.algo, max_path_len=8)
+                              algorithm=args.algo, max_path_len=8,
+                              light_path_count=args.lpc)
     frame_fn, _ = make_frame_fn(scene, meta, settings)
     t0 = time.time()
     try:
         film = frame_fn(jnp.uint32(0))
         jax.block_until_ready(film)
         mean = float(jnp.mean(film))
-        log(f"{args.variant:8s} {args.algo} {args.size}^2 [{backend}]: "
+        lpc = f" lpc={args.lpc}" if args.lpc else ""
+        log(f"{args.variant:8s} {args.algo} {args.size}^2{lpc} [{backend}]: "
             f"PASS  compile+frame {time.time() - t0:6.1f}s  "
             f"film_mean {mean:.5f}")
     except Exception as e:
-        log(f"{args.variant:8s} {args.algo} {args.size}^2 [{backend}]: "
+        lpc = f" lpc={args.lpc}" if args.lpc else ""
+        log(f"{args.variant:8s} {args.algo} {args.size}^2{lpc} [{backend}]: "
             f"FAIL  after {time.time() - t0:6.1f}s  "
             f"{type(e).__name__}: {str(e)[:160]}")
         sys.exit(1)
