@@ -660,7 +660,9 @@ def render_vcm_frame_sharded(
             )
         # Per-device band, global stride n_dev * band: the shard split of
         # the path index space equals the single-chip band split.
-        band = min(BAND_RAYS, light_path_count // n_dev)
+        from ..render.integrators.vcm import band_rays
+
+        band = min(band_rays(has_masks), light_path_count // n_dev)
         stride = band * n_dev
         cache = empty_cache(cache_capacity)
         for start in range(0, light_path_count, stride):
@@ -690,7 +692,9 @@ def render_vcm_frame_sharded(
             )
 
     if algo != "lt":
-        band = min(BAND_RAYS // max(spp, 1),
+        from ..render.integrators.vcm import band_rays
+
+        band = min(band_rays(has_masks) // max(spp, 1),
                    max(num_pixels // n_dev, 1))
         from ..render.integrators.vcm import _use_vcm_compact
 

@@ -873,6 +873,21 @@ def _vcm_camera_band(scene, cam, frame, cache, grid, base_radius, *, algo,
 BAND_RAYS = 1 << 18
 
 
+def band_rays(has_masks: bool) -> int:
+    """Dispatch cap, tightened on alpha-masked scenes.
+
+    VCM-family graphs over masked scenes crash the remote TPU compile
+    helper at >=2^17-lane dispatches (HTTP 500 within ~60 s): still_life
+    bpt/ppm FAIL at 512^2+ and PASS at 256^2, with the masked cards the
+    necessary feature (results/r4_slbisect.txt, 512^2 variant matrix).
+    Banding is estimator-neutral and cost-linear, so cap masked bands at
+    the proven-good 2^16.  IMBA_MASKED_BAND overrides.
+    """
+    if not has_masks:
+        return BAND_RAYS
+    return int(os.environ.get("IMBA_MASKED_BAND", str(1 << 16)))
+
+
 def _use_vcm_compact(num_bands: int, max_len: int) -> bool:
     """Camera-pass compaction defaults ON for the VCM family on TPU —
     unlike PT (pt._use_compact), where it measured slower.  VCM bounces
@@ -1069,7 +1084,7 @@ def render_vcm_frame(
     grid = None
 
     if algo != "pt":
-        lband = max(1, BAND_RAYS)
+        lband = max(1, band_rays(has_masks))
         cache = empty_cache(cache_capacity)
         for start in range(0, light_path_count, lband):
             bp = min(lband, light_path_count - start)
@@ -1095,7 +1110,7 @@ def render_vcm_frame(
             )
 
     if algo != "lt":
-        band = max(1, BAND_RAYS // max(spp, 1))
+        band = max(1, band_rays(has_masks) // max(spp, 1))
         num_bands = -(-num_pixels // band)
         if _use_vcm_compact(num_bands, max_len):
             film = film + _camera_pass_compact(
