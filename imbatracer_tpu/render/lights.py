@@ -125,6 +125,28 @@ def _fetch_rows(table_rec, li):
     return table_rec[li].T
 
 
+def _has(kinds, K) -> bool:
+    """Static scene light-kind gate (DeviceScene.light_kinds): `()` means
+    "unknown — evaluate every kind" (the previous behaviour); otherwise
+    absent kinds' sampling blocks are never traced.  Algebraically
+    identical for every lane whose kind is present; the compiled values
+    can differ from the unspecialized graph by FMA-contraction noise
+    (measured <=4e-6 relative, tests/test_specialize.py) because removing
+    a select changes XLA's fusion decisions."""
+    return (not kinds) or (K in kinds)
+
+
+def _chain(kind, pairs):
+    """Ordered (kind_id, value) select chain; the first pair is the base.
+    Every real lane's kind is one of the pairs, so the base never leaks."""
+    assert pairs, "empty kind-select chain: the kinds tuple doesn't cover the light table"
+    acc = pairs[0][1]
+    for K, v in pairs[1:]:
+        m = kind == K
+        acc = where3(m, v, acc) if acc.ndim == kind.ndim + 1 else jnp.where(m, v, acc)
+    return acc
+
+
 def is_delta_kind(kind):
     return (kind == LIGHT_POINT) | (kind == LIGHT_DIR) | (kind == LIGHT_SPOT)
 
@@ -141,8 +163,10 @@ def sample_direct(
     u2,
     bsphere: BSphere,
     env: Optional[EnvMapData] = None,
+    kinds: tuple = (),
 ) -> DirectSample:
-    """Sample a point/direction on light `light_idx` for NEE shadow rays."""
+    """Sample a point/direction on light `light_idx` for NEE shadow rays.
+    `kinds`: static scene light-kind set (see _has)."""
     li = jnp.maximum(light_idx, 0)
     rec_t = _fetch_rows(lights.rec, li)
     kind = _bits(rec_t[0])
@@ -153,83 +177,91 @@ def sample_direct(
     intensity = rec_t[13:16].T
     cos_angle = rec_t[17]
 
-    # --- TRI (light.h:145-180) -----------------------------------------
-    area = rec_t[16]
-    tu, tv = sample_uniform_triangle(u1, u2)
-    pos = tu[..., None] * p0 + tv[..., None] * p1 + (1.0 - tu - tv)[..., None] * p2
-    to_l = pos - from_pos
-    distsq_t = jnp.maximum(dot(to_l, to_l), 1e-12)
-    dist_t = jnp.sqrt(distsq_t)
-    dir_t = to_l / dist_t[..., None]
-    cos_out_t = dot(n, -dir_t)
-    front = (cos_out_t > 0.0) & (cos_out_t < 1.0)
-    rad_t = jnp.where(
-        front[..., None], intensity * (cos_out_t * area / distsq_t)[..., None], 0.0
-    )
-    pdf_emit_t = jnp.where(front, cos_hemisphere_pdf(cos_out_t) / jnp.maximum(area, 1e-12), 1.0)
-    pdf_dir_t = jnp.where(front, distsq_t / jnp.maximum(area * cos_out_t, 1e-12), 1.0)
-    cos_out_t = jnp.where(front, cos_out_t, 1.0)
+    has = lambda K: _has(kinds, K)
+    # Per-output (kind, value) select chains — see _chain.
+    dirs, dists, rads, pdf_es, pdf_ds, cos_outs = [], [], [], [], [], []
+    ones = jnp.ones_like(rec_t[0])
 
-    # --- POINT (light.h:266-283) ---------------------------------------
-    to_p = p0 - from_pos
-    distsq_p = jnp.maximum(dot(to_p, to_p), 1e-12)
-    dist_p = jnp.sqrt(distsq_p)
-    dir_p = to_p / dist_p[..., None]
-    rad_p = intensity / (4.0 * PI * distsq_p)[..., None]
-    pdf_dir_p = distsq_p
-    pdf_emit_p = jnp.broadcast_to(uniform_sphere_pdf(), distsq_p.shape)
-
-    # --- DIR (light.h:225-238) -----------------------------------------
-    dir_d = -n
-    rad_d = intensity
-    pdf_dir_d = jnp.ones_like(distsq_p)
-    pdf_emit_d = jnp.broadcast_to(
-        concentric_disc_pdf() * bsphere.inv_radius_sqr, distsq_p.shape
-    )
-
-    # --- SPOT (light.h:324-346) ----------------------------------------
-    cos_o_s = -dot(dir_p, n)
-    in_cone = cos_o_s >= cos_angle
-    rad_s = jnp.where(in_cone[..., None], intensity / distsq_p[..., None], 0.0)
-    pdf_emit_s = jnp.where(in_cone, uniform_cone_pdf(cos_angle), 0.0)
-    pdf_dir_s = distsq_p
-
-    # --- select ---------------------------------------------------------
-    d = where3(kind == LIGHT_TRI, dir_t, dir_p)
-    d = where3(kind == LIGHT_DIR, dir_d, d)
-    dist = jnp.where(kind == LIGHT_TRI, dist_t, dist_p)
-    dist = jnp.where(kind == LIGHT_DIR, FAR, dist)
-    rad = where3(kind == LIGHT_TRI, rad_t, rad_p)
-    rad = where3(kind == LIGHT_DIR, rad_d, rad)
-    rad = where3(kind == LIGHT_SPOT, rad_s, rad)
-    pdf_e = jnp.where(kind == LIGHT_TRI, pdf_emit_t, pdf_emit_p)
-    pdf_e = jnp.where(kind == LIGHT_DIR, pdf_emit_d, pdf_e)
-    pdf_e = jnp.where(kind == LIGHT_SPOT, pdf_emit_s, pdf_e)
-    pdf_d = jnp.where(kind == LIGHT_TRI, pdf_dir_t, pdf_dir_p)
-    pdf_d = jnp.where(kind == LIGHT_DIR, pdf_dir_d, pdf_d)
-    pdf_d = jnp.where(kind == LIGHT_SPOT, pdf_dir_s, pdf_d)
-    cos_out = jnp.where(kind == LIGHT_TRI, cos_out_t, 1.0)
-
-    # --- ENV (light.h:519-536), python-level gate: scene-static --------
-    if env is not None:
-        env_dir, env_li, env_pdf = envmap_mod.sample_dir(env, u1, u2)
-        is_env = kind == LIGHT_ENV
-        d = where3(is_env, env_dir, d)
-        dist = jnp.where(is_env, FAR, dist)
-        rad = where3(is_env, env_li / jnp.maximum(env_pdf, 1e-20)[..., None], rad)
-        pdf_d = jnp.where(is_env, env_pdf, pdf_d)
-        pdf_e = jnp.where(
-            is_env, concentric_disc_pdf() * bsphere.inv_radius_sqr * env_pdf, pdf_e
+    if has(LIGHT_TRI):
+        # --- TRI (light.h:145-180) ---------------------------------------
+        area = rec_t[16]
+        tu, tv = sample_uniform_triangle(u1, u2)
+        pos = tu[..., None] * p0 + tv[..., None] * p1 + (1.0 - tu - tv)[..., None] * p2
+        to_l = pos - from_pos
+        distsq_t = jnp.maximum(dot(to_l, to_l), 1e-12)
+        dist_t = jnp.sqrt(distsq_t)
+        dir_t = to_l / dist_t[..., None]
+        cos_out_t = dot(n, -dir_t)
+        front = (cos_out_t > 0.0) & (cos_out_t < 1.0)
+        rad_t = jnp.where(
+            front[..., None], intensity * (cos_out_t * area / distsq_t)[..., None], 0.0
         )
-        cos_out = jnp.where(is_env, 1.0, cos_out)
+        pdf_emit_t = jnp.where(front, cos_hemisphere_pdf(cos_out_t) / jnp.maximum(area, 1e-12), 1.0)
+        pdf_dir_t = jnp.where(front, distsq_t / jnp.maximum(area * cos_out_t, 1e-12), 1.0)
+        cos_out_t = jnp.where(front, cos_out_t, 1.0)
+        dirs.append((LIGHT_TRI, dir_t))
+        dists.append((LIGHT_TRI, dist_t))
+        rads.append((LIGHT_TRI, rad_t))
+        pdf_es.append((LIGHT_TRI, pdf_emit_t))
+        pdf_ds.append((LIGHT_TRI, pdf_dir_t))
+        cos_outs.append((LIGHT_TRI, cos_out_t))
+
+    if has(LIGHT_POINT) or has(LIGHT_SPOT):
+        to_p = p0 - from_pos
+        distsq_p = jnp.maximum(dot(to_p, to_p), 1e-12)
+        dist_p = jnp.sqrt(distsq_p)
+        dir_p = to_p / dist_p[..., None]
+    if has(LIGHT_POINT):
+        # --- POINT (light.h:266-283) --------------------------------------
+        rad_p = intensity / (4.0 * PI * distsq_p)[..., None]
+        dirs.append((LIGHT_POINT, dir_p))
+        dists.append((LIGHT_POINT, dist_p))
+        rads.append((LIGHT_POINT, rad_p))
+        pdf_es.append((LIGHT_POINT, jnp.broadcast_to(uniform_sphere_pdf(), distsq_p.shape)))
+        pdf_ds.append((LIGHT_POINT, distsq_p))
+        cos_outs.append((LIGHT_POINT, ones))
+
+    if has(LIGHT_DIR):
+        # --- DIR (light.h:225-238) ----------------------------------------
+        dirs.append((LIGHT_DIR, -n))
+        dists.append((LIGHT_DIR, jnp.full_like(ones, FAR)))
+        rads.append((LIGHT_DIR, intensity))
+        pdf_es.append((LIGHT_DIR, jnp.broadcast_to(
+            concentric_disc_pdf() * bsphere.inv_radius_sqr, ones.shape)))
+        pdf_ds.append((LIGHT_DIR, ones))
+        cos_outs.append((LIGHT_DIR, ones))
+
+    if has(LIGHT_SPOT):
+        # --- SPOT (light.h:324-346) ---------------------------------------
+        cos_o_s = -dot(dir_p, n)
+        in_cone = cos_o_s >= cos_angle
+        rad_s = jnp.where(in_cone[..., None], intensity / distsq_p[..., None], 0.0)
+        pdf_emit_s = jnp.where(in_cone, uniform_cone_pdf(cos_angle), 0.0)
+        dirs.append((LIGHT_SPOT, dir_p))
+        dists.append((LIGHT_SPOT, dist_p))
+        rads.append((LIGHT_SPOT, rad_s))
+        pdf_es.append((LIGHT_SPOT, pdf_emit_s))
+        pdf_ds.append((LIGHT_SPOT, distsq_p))
+        cos_outs.append((LIGHT_SPOT, ones))
+
+    # --- ENV (light.h:519-536), python-level gate: scene-static ----------
+    if env is not None and has(LIGHT_ENV):
+        env_dir, env_li, env_pdf = envmap_mod.sample_dir(env, u1, u2)
+        dirs.append((LIGHT_ENV, env_dir))
+        dists.append((LIGHT_ENV, jnp.full_like(ones, FAR)))
+        rads.append((LIGHT_ENV, env_li / jnp.maximum(env_pdf, 1e-20)[..., None]))
+        pdf_es.append((LIGHT_ENV,
+                       concentric_disc_pdf() * bsphere.inv_radius_sqr * env_pdf))
+        pdf_ds.append((LIGHT_ENV, env_pdf))
+        cos_outs.append((LIGHT_ENV, ones))
 
     return DirectSample(
-        dir=d,
-        distance=dist,
-        radiance=rad,
-        cos_out=cos_out,
-        pdf_emit_w=pdf_e,
-        pdf_direct_w=pdf_d,
+        dir=_chain(kind, dirs),
+        distance=_chain(kind, dists),
+        radiance=_chain(kind, rads),
+        cos_out=_chain(kind, cos_outs),
+        pdf_emit_w=_chain(kind, pdf_es),
+        pdf_direct_w=_chain(kind, pdf_ds),
         is_delta=is_delta_kind(kind),
     )
 
@@ -243,8 +275,10 @@ def sample_emit(
     u4,
     bsphere: BSphere,
     env: Optional[EnvMapData] = None,
+    kinds: tuple = (),
 ) -> EmitSample:
-    """Sample an outgoing photon ray from light `light_idx` (light pass)."""
+    """Sample an outgoing photon ray from light `light_idx` (light pass).
+    `kinds`: static scene light-kind set (see _has)."""
     li = jnp.maximum(light_idx, 0)
     rec_t = _fetch_rows(lights.rec, li)
     kind = _bits(rec_t[0])
@@ -255,54 +289,66 @@ def sample_emit(
     intensity = rec_t[13:16].T
     cos_angle = rec_t[17]
 
-    # --- TRI (light.h:109-143) -----------------------------------------
-    area = jnp.maximum(rec_t[16], 1e-12)
-    tu, tv = sample_uniform_triangle(u1, u2)
-    pos_t = tu[..., None] * p0 + tv[..., None] * p1 + (1.0 - tu - tv)[..., None] * p2
-    d_loc, pdf_cos = sample_cos_hemisphere(u3, u4)
-    dir_t = to_world(d_loc, n)
-    cos_out_t = d_loc[..., 2]
-    degen = pdf_cos <= 0.0
-    rad_t = jnp.where(degen[..., None], 0.0, intensity * (area * PI)[..., None])
-    pdf_emit_t = jnp.where(degen, 1.0, pdf_cos / area)
-    pdf_direct_t = jnp.where(degen, 1.0, 1.0 / area)
-    cos_out_t = jnp.where(degen, 0.0, cos_out_t)
+    has = lambda K: _has(kinds, K)
+    poss, dirss, rads, pdf_es, pdf_das, cos_outs = [], [], [], [], [], []
+    ones = jnp.ones_like(rec_t[0])
 
-    # --- POINT (light.h:249-264) ---------------------------------------
-    d_sph, pdf_sph = sample_uniform_sphere(u3, u4)
-    rad_p = intensity
-    pdf_emit_p = pdf_sph
+    if has(LIGHT_TRI):
+        # --- TRI (light.h:109-143) -----------------------------------------
+        area = jnp.maximum(rec_t[16], 1e-12)
+        tu, tv = sample_uniform_triangle(u1, u2)
+        pos_t = tu[..., None] * p0 + tv[..., None] * p1 + (1.0 - tu - tv)[..., None] * p2
+        d_loc, pdf_cos = sample_cos_hemisphere(u3, u4)
+        dir_t = to_world(d_loc, n)
+        cos_out_t = d_loc[..., 2]
+        degen = pdf_cos <= 0.0
+        rad_t = jnp.where(degen[..., None], 0.0, intensity * (area * PI)[..., None])
+        pdf_emit_t = jnp.where(degen, 1.0, pdf_cos / area)
+        pdf_direct_t = jnp.where(degen, 1.0, 1.0 / area)
+        cos_out_t = jnp.where(degen, 0.0, cos_out_t)
+        poss.append((LIGHT_TRI, pos_t))
+        dirss.append((LIGHT_TRI, dir_t))
+        rads.append((LIGHT_TRI, rad_t))
+        pdf_es.append((LIGHT_TRI, pdf_emit_t))
+        pdf_das.append((LIGHT_TRI, pdf_direct_t))
+        cos_outs.append((LIGHT_TRI, cos_out_t))
 
-    # --- DIR (light.h:205-223): disc on the bounding sphere ------------
-    dx, dy = sample_concentric_disc(u1, u2)
-    t_dir, b_dir = _onb(n)
-    pos_d = bsphere.center + bsphere.radius * (-n + b_dir * dx[..., None] + t_dir * dy[..., None])
-    pdf_emit_d = concentric_disc_pdf() * bsphere.inv_radius_sqr
-    rad_d = intensity / pdf_emit_d
+    if has(LIGHT_POINT):
+        # --- POINT (light.h:249-264) ---------------------------------------
+        d_sph, pdf_sph = sample_uniform_sphere(u3, u4)
+        poss.append((LIGHT_POINT, p0))
+        dirss.append((LIGHT_POINT, d_sph))
+        rads.append((LIGHT_POINT, intensity))
+        pdf_es.append((LIGHT_POINT, pdf_sph))
+        pdf_das.append((LIGHT_POINT, ones))
+        cos_outs.append((LIGHT_POINT, ones))
 
-    # --- SPOT (light.h:305-322) ----------------------------------------
-    d_cone, pdf_cone = sample_uniform_cone(cos_angle, u3, u4)
-    dir_s = to_world(d_cone, n)
-    rad_s = intensity / pdf_cone[..., None]
-    pdf_emit_s = pdf_cone
+    if has(LIGHT_DIR) or (env is not None and has(LIGHT_ENV)):
+        dx, dy = sample_concentric_disc(u1, u2)
+    if has(LIGHT_DIR):
+        # --- DIR (light.h:205-223): disc on the bounding sphere ------------
+        t_dir, b_dir = _onb(n)
+        pos_d = bsphere.center + bsphere.radius * (-n + b_dir * dx[..., None] + t_dir * dy[..., None])
+        pdf_emit_d = concentric_disc_pdf() * bsphere.inv_radius_sqr
+        poss.append((LIGHT_DIR, pos_d))
+        dirss.append((LIGHT_DIR, jnp.broadcast_to(n, p0.shape)))
+        rads.append((LIGHT_DIR, intensity / pdf_emit_d))
+        pdf_es.append((LIGHT_DIR, jnp.broadcast_to(pdf_emit_d, ones.shape)))
+        pdf_das.append((LIGHT_DIR, ones))
+        cos_outs.append((LIGHT_DIR, ones))
 
-    # --- select ---------------------------------------------------------
-    pos = where3(kind == LIGHT_TRI, pos_t, p0)
-    pos = where3(kind == LIGHT_DIR, pos_d, pos)
-    d = where3(kind == LIGHT_TRI, dir_t, d_sph)
-    d = where3(kind == LIGHT_DIR, jnp.broadcast_to(n, d_sph.shape), d)
-    d = where3(kind == LIGHT_SPOT, dir_s, d)
-    rad = where3(kind == LIGHT_TRI, rad_t, rad_p)
-    rad = where3(kind == LIGHT_DIR, rad_d, rad)
-    rad = where3(kind == LIGHT_SPOT, rad_s, rad)
-    pdf_e = jnp.where(kind == LIGHT_TRI, pdf_emit_t, pdf_emit_p)
-    pdf_e = jnp.where(kind == LIGHT_DIR, pdf_emit_d, pdf_e)
-    pdf_e = jnp.where(kind == LIGHT_SPOT, pdf_emit_s, pdf_e)
-    pdf_da = jnp.where(kind == LIGHT_TRI, pdf_direct_t, 1.0)
-    cos_out = jnp.where(kind == LIGHT_TRI, cos_out_t, 1.0)
+    if has(LIGHT_SPOT):
+        # --- SPOT (light.h:305-322) ----------------------------------------
+        d_cone, pdf_cone = sample_uniform_cone(cos_angle, u3, u4)
+        poss.append((LIGHT_SPOT, p0))
+        dirss.append((LIGHT_SPOT, to_world(d_cone, n)))
+        rads.append((LIGHT_SPOT, intensity / pdf_cone[..., None]))
+        pdf_es.append((LIGHT_SPOT, pdf_cone))
+        pdf_das.append((LIGHT_SPOT, ones))
+        cos_outs.append((LIGHT_SPOT, ones))
 
     # --- ENV (light.h:494-516) ------------------------------------------
-    if env is not None:
+    if env is not None and has(LIGHT_ENV):
         env_dir, env_li, env_pdf = envmap_mod.sample_dir(env, u3, u4)
         inward = -env_dir
         te, be = _onb(inward)
@@ -310,21 +356,20 @@ def sample_emit(
             -inward + be * dx[..., None] + te * dy[..., None]
         )
         pdf_emit_e = concentric_disc_pdf() * bsphere.inv_radius_sqr * env_pdf
-        is_env = kind == LIGHT_ENV
-        pos = where3(is_env, pos_e, pos)
-        d = where3(is_env, inward, d)
-        rad = where3(is_env, env_li / jnp.maximum(pdf_emit_e, 1e-20)[..., None], rad)
-        pdf_e = jnp.where(is_env, pdf_emit_e, pdf_e)
-        pdf_da = jnp.where(is_env, env_pdf, pdf_da)
-        cos_out = jnp.where(is_env, 1.0, cos_out)
+        poss.append((LIGHT_ENV, pos_e))
+        dirss.append((LIGHT_ENV, inward))
+        rads.append((LIGHT_ENV, env_li / jnp.maximum(pdf_emit_e, 1e-20)[..., None]))
+        pdf_es.append((LIGHT_ENV, pdf_emit_e))
+        pdf_das.append((LIGHT_ENV, env_pdf))
+        cos_outs.append((LIGHT_ENV, ones))
 
     return EmitSample(
-        pos=pos,
-        dir=normalize(d),
-        radiance=rad,
-        cos_out=cos_out,
-        pdf_emit_w=pdf_e,
-        pdf_direct_a=pdf_da,
+        pos=_chain(kind, poss),
+        dir=normalize(_chain(kind, dirss)),
+        radiance=_chain(kind, rads),
+        cos_out=_chain(kind, cos_outs),
+        pdf_emit_w=_chain(kind, pdf_es),
+        pdf_direct_a=_chain(kind, pdf_das),
         is_finite=is_finite_kind(kind),
         is_delta=is_delta_kind(kind),
     )

@@ -120,6 +120,25 @@ def is_specular(p: MatParams) -> jnp.ndarray:
     return (p["kind"] == MAT_MIRROR) | (p["kind"] == MAT_GLASS)
 
 
+# ------------------------------------------------- per-scene specialization
+#
+# Every eval/pdf/sample entry point takes a static `kinds` tuple — the set
+# of material kinds that exist in the scene (DeviceScene.mat_kinds, a
+# pytree-static field computed at build time).  `()` means "unknown":
+# evaluate every kind, the previous behaviour.  With a non-empty tuple the
+# absent kinds' formula blocks are never traced, which deletes their
+# transcendental chains (Blinn/Phong powers, glass Fresnel) from the
+# compiled program — the TPU analogue of the reference compiling one
+# kernel per material via AnyDSL specialisation (materials.h's
+# per-material BxDF instantiation).  Results are BITWISE identical for
+# every lane whose kind is in `kinds` (each select chain yields exactly
+# the chosen kind's value; tests/test_specialize.py asserts this), and
+# every real lane's kind is in `kinds` by construction.
+
+def _has(kinds, K) -> bool:
+    return (not kinds) or (K in kinds)
+
+
 # ---------------------------------------------------------------- fresnel
 
 def fresnel_conductor(cos_i, eta, kappa):
@@ -283,29 +302,34 @@ def _lambert_eval(kd, lo, li):
     return jnp.where(same[..., None], kd * INV_PI, 0.0)
 
 
-def eval_bsdf(p: MatParams, n, gn, wo, wi, adjoint: bool = False):
+def eval_bsdf(p: MatParams, n, gn, wo, wi, adjoint: bool = False, kinds: tuple = ()):
     """BSDF value for given directions; zero for delta materials.
 
     Matches BSDF::eval's geometric-side selection (bsdf.h:125-145).
+    `kinds`: static scene material-kind set, see _has above.
     """
     lo = to_local(wo, n)
     li = to_local(wi, n)
     same_geom = dot(wo, gn) * dot(wi, gn) > 0.0
 
-    f_diff = _lambert_eval(p["kd"], lo, li)
-    f_glossy = 0.5 * (_ct_eval(p["ks"], p["ns"], lo, li) + _lambert_eval(p["kd"], lo, li))
-
     kind = p["kind"]
-    f = jnp.zeros_like(f_diff)
-    f = where3(kind == MAT_DIFFUSE, f_diff, f)
-    f = where3(kind == MAT_GLOSSY, f_glossy, f)
-    f = where3(kind == MAT_PHONG, _phong_eval(p["ks"], p["ns"], lo, li), f)
-    f = where3(kind == MAT_OREN_NAYAR, _oren_nayar_eval(p["kd"], p["ns"], lo, li), f)
+    f = jnp.zeros_like(p["kd"])
+    if _has(kinds, MAT_DIFFUSE):
+        f = where3(kind == MAT_DIFFUSE, _lambert_eval(p["kd"], lo, li), f)
+    if _has(kinds, MAT_GLOSSY):
+        f_glossy = 0.5 * (_ct_eval(p["ks"], p["ns"], lo, li)
+                          + _lambert_eval(p["kd"], lo, li))
+        f = where3(kind == MAT_GLOSSY, f_glossy, f)
+    if _has(kinds, MAT_PHONG):
+        f = where3(kind == MAT_PHONG, _phong_eval(p["ks"], p["ns"], lo, li), f)
+    if _has(kinds, MAT_OREN_NAYAR):
+        f = where3(kind == MAT_OREN_NAYAR,
+                   _oren_nayar_eval(p["kd"], p["ns"], lo, li), f)
     # Reflection-only materials contribute nothing across the surface.
     return where3(same_geom, f, jnp.zeros_like(f))
 
 
-def pdf_bsdf(p: MatParams, n, gn, wo, wi):
+def pdf_bsdf(p: MatParams, n, gn, wo, wi, kinds: tuple = ()):
     """Solid-angle pdf of sample_bsdf picking wi; zero for delta kinds."""
     lo = to_local(wo, n)
     li = to_local(wi, n)
@@ -313,14 +337,18 @@ def pdf_bsdf(p: MatParams, n, gn, wo, wi):
     same_hemi = lo[..., 2] * li[..., 2] > 0.0
 
     pdf_cos = jnp.where(same_hemi, cos_hemisphere_pdf(jnp.abs(li[..., 2])), 0.0)
-    pdf_glossy = 0.5 * (_ct_pdf(p["ns"], lo, li) + pdf_cos)
 
     kind = p["kind"]
     pdf = jnp.zeros_like(pdf_cos)
-    pdf = jnp.where(kind == MAT_DIFFUSE, pdf_cos, pdf)
-    pdf = jnp.where(kind == MAT_GLOSSY, pdf_glossy, pdf)
-    pdf = jnp.where(kind == MAT_PHONG, _phong_pdf(p["ns"], lo, li), pdf)
-    pdf = jnp.where(kind == MAT_OREN_NAYAR, pdf_cos, pdf)
+    if _has(kinds, MAT_DIFFUSE):
+        pdf = jnp.where(kind == MAT_DIFFUSE, pdf_cos, pdf)
+    if _has(kinds, MAT_GLOSSY):
+        pdf_glossy = 0.5 * (_ct_pdf(p["ns"], lo, li) + pdf_cos)
+        pdf = jnp.where(kind == MAT_GLOSSY, pdf_glossy, pdf)
+    if _has(kinds, MAT_PHONG):
+        pdf = jnp.where(kind == MAT_PHONG, _phong_pdf(p["ns"], lo, li), pdf)
+    if _has(kinds, MAT_OREN_NAYAR):
+        pdf = jnp.where(kind == MAT_OREN_NAYAR, pdf_cos, pdf)
     return jnp.where(same_geom, pdf, 0.0)
 
 
@@ -365,7 +393,7 @@ def _phong_eval_pdf2(ks, ns, lo, li, same_hemi):
     return f, pdf
 
 
-def eval_pdf_bsdf(p: MatParams, n, gn, wo, wi):
+def eval_pdf_bsdf(p: MatParams, n, gn, wo, wi, kinds: tuple = ()):
     """Fused eval_bsdf(wo,wi) + pdf_bsdf(wo,wi) + pdf_bsdf(wi,wo).
 
     MIS needs all three at every NEE / vertex-connection vertex
@@ -379,7 +407,8 @@ def eval_pdf_bsdf(p: MatParams, n, gn, wo, wi):
     Bitwise-identical to the three separate calls
     (tests/test_materials_fused.py).  Returns (f, pdf_fwd, pdf_rev);
     unused outputs are dead-code-eliminated by XLA, so two-output call
-    sites pay nothing for the third.
+    sites pay nothing for the third.  `kinds`: static scene material-kind
+    set (see _has); absent kinds' blocks are never traced.
     """
     t, b = local_coordinates(n)
     def proj(v):
@@ -398,127 +427,176 @@ def eval_pdf_bsdf(p: MatParams, n, gn, wo, wi):
     pdf_cos_f = jnp.where(same_hemi, cos_hemisphere_pdf(jnp.abs(li[..., 2])), 0.0)
     pdf_cos_r = jnp.where(same_hemi, cos_hemisphere_pdf(jnp.abs(lo[..., 2])), 0.0)
 
-    ct_f, ct_pdf_f, ct_pdf_r = _ct_eval_pdf2(p["ks"], p["ns"], lo, li)
-    f_glossy = 0.5 * (ct_f + f_diff)
-    pdf_glossy_f = 0.5 * (ct_pdf_f + pdf_cos_f)
-    pdf_glossy_r = 0.5 * (ct_pdf_r + pdf_cos_r)
-
-    ph_f, ph_pdf = _phong_eval_pdf2(p["ks"], p["ns"], lo, li, same_hemi)
-
     f = jnp.zeros_like(f_diff)
-    f = where3(kind == MAT_DIFFUSE, f_diff, f)
-    f = where3(kind == MAT_GLOSSY, f_glossy, f)
-    f = where3(kind == MAT_PHONG, ph_f, f)
-    f = where3(kind == MAT_OREN_NAYAR, _oren_nayar_eval(p["kd"], p["ns"], lo, li), f)
+    pdf_f = jnp.zeros_like(pdf_cos_f)
+    pdf_r = jnp.zeros_like(pdf_cos_r)
+
+    def sel(K, fv, pf, pr):
+        nonlocal f, pdf_f, pdf_r
+        m = kind == K
+        f = where3(m, fv, f)
+        pdf_f = jnp.where(m, pf, pdf_f)
+        pdf_r = jnp.where(m, pr, pdf_r)
+
+    if _has(kinds, MAT_DIFFUSE):
+        sel(MAT_DIFFUSE, f_diff, pdf_cos_f, pdf_cos_r)
+    if _has(kinds, MAT_GLOSSY):
+        ct_f, ct_pdf_f, ct_pdf_r = _ct_eval_pdf2(p["ks"], p["ns"], lo, li)
+        sel(MAT_GLOSSY, 0.5 * (ct_f + f_diff),
+            0.5 * (ct_pdf_f + pdf_cos_f), 0.5 * (ct_pdf_r + pdf_cos_r))
+    if _has(kinds, MAT_PHONG):
+        ph_f, ph_pdf = _phong_eval_pdf2(p["ks"], p["ns"], lo, li, same_hemi)
+        sel(MAT_PHONG, ph_f, ph_pdf, ph_pdf)
+    if _has(kinds, MAT_OREN_NAYAR):
+        sel(MAT_OREN_NAYAR, _oren_nayar_eval(p["kd"], p["ns"], lo, li),
+            pdf_cos_f, pdf_cos_r)
+
     f = where3(same_geom, f, jnp.zeros_like(f))
-
-    def select_pdf(pdf_cos, pdf_glossy):
-        pdf = jnp.zeros_like(pdf_cos)
-        pdf = jnp.where(kind == MAT_DIFFUSE, pdf_cos, pdf)
-        pdf = jnp.where(kind == MAT_GLOSSY, pdf_glossy, pdf)
-        pdf = jnp.where(kind == MAT_PHONG, ph_pdf, pdf)
-        pdf = jnp.where(kind == MAT_OREN_NAYAR, pdf_cos, pdf)
-        return jnp.where(same_geom, pdf, 0.0)
-
-    return f, select_pdf(pdf_cos_f, pdf_glossy_f), select_pdf(pdf_cos_r, pdf_glossy_r)
+    pdf_f = jnp.where(same_geom, pdf_f, 0.0)
+    pdf_r = jnp.where(same_geom, pdf_r, 0.0)
+    return f, pdf_f, pdf_r
 
 
 # ------------------------------------------------------------------ sample
 
-def sample_bsdf(p: MatParams, n, gn, wo, u1, u2, u3, adjoint: bool = False):
+def sample_bsdf(p: MatParams, n, gn, wo, u1, u2, u3, adjoint: bool = False,
+                kinds: tuple = ()):
     """Sample an incoming direction.
 
     Returns (wi, f, pdf, specular_mask, valid_mask).  `f` excludes the
     cosine term; `pdf` includes component-choice probabilities.
+    `kinds`: static scene material-kind set (see _has); absent kinds'
+    sampling/eval blocks are never traced.
     """
     lo = to_local(wo, n)
     kind = p["kind"]
-    sign_o = jnp.where(lo[..., 2] >= 0.0, 1.0, -1.0)
+    has = lambda K: _has(kinds, K)
+    need_cos = has(MAT_DIFFUSE) or has(MAT_GLOSSY) or has(MAT_OREN_NAYAR)
+    need_mirror_dir = has(MAT_MIRROR) or has(MAT_GLASS)
 
-    # --- DIFFUSE / GLOSSY shared cosine-hemisphere proposal ------------
-    d_cos, _ = sample_cos_hemisphere(u1, u2)
-    d_cos = d_cos.at[..., 2].multiply(sign_o)  # stay in wo's hemisphere
+    # Ordered (kind, value) select chains; the first present kind is the
+    # chain base (every real lane's kind is present, so the base never
+    # leaks — bitwise identical to the full chain).
+    li_sel, f_sel, pdf_sel = [], [], []
 
-    # --- GLOSSY: 50/50 Blinn vs cosine (bsdf.h:84-89) ------------------
-    li_blinn, _ = _ct_sample(p["ns"], lo, u1, u2)
-    choose_blinn = u3 < 0.5
-    li_glossy = where3(choose_blinn, li_blinn, d_cos)
+    if need_cos:
+        sign_o = jnp.where(lo[..., 2] >= 0.0, 1.0, -1.0)
+        # --- DIFFUSE / GLOSSY shared cosine-hemisphere proposal --------
+        d_cos, _ = sample_cos_hemisphere(u1, u2)
+        d_cos = d_cos.at[..., 2].multiply(sign_o)  # stay in wo's hemisphere
 
-    # --- MIRROR delta reflection ---------------------------------------
-    li_mirror = jnp.stack([-lo[..., 0], -lo[..., 1], lo[..., 2]], axis=-1)
-    fr_cond = fresnel_conductor(lo[..., 2], 1.0, p["ns"])
-    f_mirror = p["ks"] * (fr_cond / jnp.maximum(jnp.abs(lo[..., 2]), 1e-12))[..., None]
+    if has(MAT_GLOSSY):
+        # --- GLOSSY: 50/50 Blinn vs cosine (bsdf.h:84-89) --------------
+        li_blinn, _ = _ct_sample(p["ns"], lo, u1, u2)
+        choose_blinn = u3 < 0.5
+        li_glossy = where3(choose_blinn, li_blinn, d_cos)
 
-    # --- GLASS: reflection or transmission by 1 - Fr -------------------
-    fr_diel = fresnel_dielectric(lo[..., 2], 1.0, p["ior"])
-    btdf_prob = 1.0 - fr_diel
-    choose_trans = u3 < btdf_prob
-    entering = lo[..., 2] > 0.0
-    eta_i = jnp.where(entering, 1.0, p["ior"])
-    eta_t = jnp.where(entering, p["ior"], 1.0)
-    eta_frac = eta_i / eta_t
-    sin_i_sqr = jnp.maximum(0.0, 1.0 - lo[..., 2] * lo[..., 2])
-    sin_t_sqr = eta_frac * eta_frac * sin_i_sqr
-    tir = sin_t_sqr >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t_sqr))
-    cos_t = jnp.where(entering, -cos_t, cos_t)
-    li_trans = jnp.stack(
-        [-eta_frac * lo[..., 0], -eta_frac * lo[..., 1], cos_t], axis=-1
-    )
-    li_trans = jnp.where(tir[..., None], li_mirror, li_trans)
-    radiance_factor = jnp.where(adjoint, 1.0, eta_frac * eta_frac)
-    f_trans = p["tf"] * (
-        radiance_factor
-        * (1.0 - fr_diel)
-        / jnp.maximum(jnp.abs(li_trans[..., 2]), 1e-12)
-    )[..., None]
-    f_trans = jnp.where(tir[..., None], 0.0, f_trans)
-    f_glass_refl = p["ks"] * (fr_diel / jnp.maximum(jnp.abs(lo[..., 2]), 1e-12))[..., None]
-    li_glass = where3(choose_trans, li_trans, li_mirror)
-    f_glass = where3(choose_trans, f_trans, f_glass_refl)
-    pdf_glass = jnp.where(choose_trans, btdf_prob, 1.0 - btdf_prob)
+    if need_mirror_dir:
+        # --- MIRROR delta reflection ------------------------------------
+        li_mirror = jnp.stack([-lo[..., 0], -lo[..., 1], lo[..., 2]], axis=-1)
+    if has(MAT_MIRROR):
+        fr_cond = fresnel_conductor(lo[..., 2], 1.0, p["ns"])
+        f_mirror = p["ks"] * (fr_cond / jnp.maximum(jnp.abs(lo[..., 2]), 1e-12))[..., None]
 
-    # --- PHONG lobe about the reflection --------------------------------
-    li_phong, _ = _phong_sample(p["ns"], lo, u1, u2)
+    if has(MAT_GLASS):
+        # --- GLASS: reflection or transmission by 1 - Fr ----------------
+        fr_diel = fresnel_dielectric(lo[..., 2], 1.0, p["ior"])
+        btdf_prob = 1.0 - fr_diel
+        choose_trans = u3 < btdf_prob
+        entering = lo[..., 2] > 0.0
+        eta_i = jnp.where(entering, 1.0, p["ior"])
+        eta_t = jnp.where(entering, p["ior"], 1.0)
+        eta_frac = eta_i / eta_t
+        sin_i_sqr = jnp.maximum(0.0, 1.0 - lo[..., 2] * lo[..., 2])
+        sin_t_sqr = eta_frac * eta_frac * sin_i_sqr
+        tir = sin_t_sqr >= 1.0
+        cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t_sqr))
+        cos_t = jnp.where(entering, -cos_t, cos_t)
+        li_trans = jnp.stack(
+            [-eta_frac * lo[..., 0], -eta_frac * lo[..., 1], cos_t], axis=-1
+        )
+        li_trans = jnp.where(tir[..., None], li_mirror, li_trans)
+        radiance_factor = jnp.where(adjoint, 1.0, eta_frac * eta_frac)
+        f_trans = p["tf"] * (
+            radiance_factor
+            * (1.0 - fr_diel)
+            / jnp.maximum(jnp.abs(li_trans[..., 2]), 1e-12)
+        )[..., None]
+        f_trans = jnp.where(tir[..., None], 0.0, f_trans)
+        f_glass_refl = p["ks"] * (fr_diel / jnp.maximum(jnp.abs(lo[..., 2]), 1e-12))[..., None]
+        li_glass = where3(choose_trans, li_trans, li_mirror)
+        f_glass = where3(choose_trans, f_trans, f_glass_refl)
+        pdf_glass = jnp.where(choose_trans, btdf_prob, 1.0 - btdf_prob)
 
-    # --- select per kind ------------------------------------------------
-    li = where3(kind == MAT_DIFFUSE, d_cos, li_glossy)
-    li = where3(kind == MAT_MIRROR, li_mirror, li)
-    li = where3(kind == MAT_GLASS, li_glass, li)
-    li = where3(kind == MAT_PHONG, li_phong, li)
-    li = where3(kind == MAT_OREN_NAYAR, d_cos, li)
+    if has(MAT_PHONG):
+        # --- PHONG lobe about the reflection -----------------------------
+        li_phong, _ = _phong_sample(p["ns"], lo, u1, u2)
+
+    # --- select the sampled direction per kind ---------------------------
+    if has(MAT_DIFFUSE):
+        li_sel.append((MAT_DIFFUSE, d_cos))
+    if has(MAT_GLOSSY):
+        li_sel.append((MAT_GLOSSY, li_glossy))
+    if has(MAT_MIRROR):
+        li_sel.append((MAT_MIRROR, li_mirror))
+    if has(MAT_GLASS):
+        li_sel.append((MAT_GLASS, li_glass))
+    if has(MAT_PHONG):
+        li_sel.append((MAT_PHONG, li_phong))
+    if has(MAT_OREN_NAYAR):
+        li_sel.append((MAT_OREN_NAYAR, d_cos))
+    li = li_sel[0][1]
+    for K, v in li_sel[1:]:
+        li = where3(kind == K, v, li)
 
     wi = to_world(li, n)
 
     # f / pdf for the scattering kinds evaluated at the sampled direction.
-    f_diff = _lambert_eval(p["kd"], lo, li)
-    pdf_diff = jnp.where(
-        lo[..., 2] * li[..., 2] > 0.0, cos_hemisphere_pdf(jnp.abs(li[..., 2])), 0.0
-    )
-    f_glossy = 0.5 * (_ct_eval(p["ks"], p["ns"], lo, li) + _lambert_eval(p["kd"], lo, li))
-    pdf_glossy = 0.5 * (_ct_pdf(p["ns"], lo, li) + pdf_diff)
+    if need_cos:
+        f_diff = _lambert_eval(p["kd"], lo, li)
+        pdf_diff = jnp.where(
+            lo[..., 2] * li[..., 2] > 0.0, cos_hemisphere_pdf(jnp.abs(li[..., 2])), 0.0
+        )
+    if has(MAT_DIFFUSE):
+        f_sel.append((MAT_DIFFUSE, f_diff))
+        pdf_sel.append((MAT_DIFFUSE, pdf_diff))
+    if has(MAT_GLOSSY):
+        f_glossy = 0.5 * (_ct_eval(p["ks"], p["ns"], lo, li)
+                          + _lambert_eval(p["kd"], lo, li))
+        pdf_glossy = 0.5 * (_ct_pdf(p["ns"], lo, li) + pdf_diff)
+        f_sel.append((MAT_GLOSSY, f_glossy))
+        pdf_sel.append((MAT_GLOSSY, pdf_glossy))
+    if has(MAT_MIRROR):
+        f_sel.append((MAT_MIRROR, f_mirror))
+        pdf_sel.append((MAT_MIRROR, jnp.ones_like(lo[..., 2])))
+    if has(MAT_GLASS):
+        f_sel.append((MAT_GLASS, f_glass))
+        pdf_sel.append((MAT_GLASS, pdf_glass))
+    if has(MAT_PHONG):
+        f_sel.append((MAT_PHONG, _phong_eval(p["ks"], p["ns"], lo, li)))
+        pdf_sel.append((MAT_PHONG, _phong_pdf(p["ns"], lo, li)))
+    if has(MAT_OREN_NAYAR):
+        f_sel.append((MAT_OREN_NAYAR,
+                      _oren_nayar_eval(p["kd"], p["ns"], lo, li)))
+        pdf_sel.append((MAT_OREN_NAYAR, pdf_diff))
 
-    f = where3(kind == MAT_DIFFUSE, f_diff, jnp.zeros_like(f_diff))
-    f = where3(kind == MAT_GLOSSY, f_glossy, f)
-    f = where3(kind == MAT_MIRROR, f_mirror, f)
-    f = where3(kind == MAT_GLASS, f_glass, f)
-    f = where3(kind == MAT_PHONG, _phong_eval(p["ks"], p["ns"], lo, li), f)
-    f = where3(kind == MAT_OREN_NAYAR, _oren_nayar_eval(p["kd"], p["ns"], lo, li), f)
-
-    pdf = jnp.where(kind == MAT_DIFFUSE, pdf_diff, jnp.zeros_like(pdf_diff))
-    pdf = jnp.where(kind == MAT_GLOSSY, pdf_glossy, pdf)
-    pdf = jnp.where(kind == MAT_MIRROR, 1.0, pdf)
-    pdf = jnp.where(kind == MAT_GLASS, pdf_glass, pdf)
-    pdf = jnp.where(kind == MAT_PHONG, _phong_pdf(p["ns"], lo, li), pdf)
-    pdf = jnp.where(kind == MAT_OREN_NAYAR, pdf_diff, pdf)
+    f = jnp.zeros_like(p["kd"])
+    for K, v in f_sel:
+        f = where3(kind == K, v, f)
+    pdf = jnp.zeros_like(lo[..., 2])
+    for K, v in pdf_sel:
+        pdf = jnp.where(kind == K, v, pdf)
 
     spec = is_specular(p)
 
     # Geometric-side consistency (bsdf.h:188-193): reflections must stay on
     # wo's geometric side, transmissions must cross.
     same_geom = dot(wo, gn) * dot(wi, gn) > 0.0
-    is_transmission = (kind == MAT_GLASS) & choose_trans & ~tir
-    side_ok = jnp.where(is_transmission, ~same_geom, same_geom)
+    if has(MAT_GLASS):
+        is_transmission = (kind == MAT_GLASS) & choose_trans & ~tir
+        side_ok = jnp.where(is_transmission, ~same_geom, same_geom)
+    else:
+        side_ok = same_geom
     valid = side_ok & (pdf > 0.0) & jnp.any(f != 0.0, axis=-1)
 
     return wi, f, pdf, spec, valid

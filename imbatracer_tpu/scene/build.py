@@ -539,9 +539,21 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
     shade_rec[:, 39] = arr("bump_tex", np.int32)[mid].view(np.float32)
     shade_rec[:, 40] = arr("mask_tex", np.int32)[mid].view(np.float32)
 
+    # Static per-scene specialization facts (DeviceScene.mat_kinds /
+    # .light_kinds): the kind sets present, so the hot paths compile only
+    # those formula blocks.  IMBA_SPEC=0 turns it off (compile-everything).
+    if os.environ.get("IMBA_SPEC", "1") != "0":
+        mat_kinds = tuple(sorted({int(m["kind"]) for m in mat_rows}))
+        light_kinds = (tuple(sorted({int(r["kind"]) for r in light_rows}))
+                       or (light_mod.LIGHT_POINT,))  # dummy black point light
+    else:
+        mat_kinds, light_kinds = (), ()
+
     if two_level_bvh is None:
         bvh_stats = threaded.stats
     scene = DeviceScene(
+        mat_kinds=mat_kinds,
+        light_kinds=light_kinds,
         bvh=(two_level_bvh if two_level_bvh is not None
              else DeviceBvh.from_threaded(threaded)),
         attrs=TriAttrs(

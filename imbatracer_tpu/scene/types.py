@@ -65,6 +65,14 @@ class DeviceScene:
     textures: TextureAtlas
     bsphere: BSphere
     env: Optional[EnvMapData] = None
+    # Static (pytree-aux) per-scene specialization facts: the sets of
+    # material / light kinds present, as sorted tuples.  Hot paths pass
+    # them to materials/lights entry points so XLA never traces formula
+    # blocks for kinds the scene doesn't contain (the TPU analogue of the
+    # reference's per-material AnyDSL kernel specialization).  `()` means
+    # "unknown — compile everything" (always correct).
+    mat_kinds: tuple = flax.struct.field(pytree_node=False, default=())
+    light_kinds: tuple = flax.struct.field(pytree_node=False, default=())
 
     @property
     def num_lights(self):
