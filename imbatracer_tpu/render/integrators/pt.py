@@ -224,10 +224,12 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
         st, (ul, ua, ub) = rng_mod.next_floats(st, 3)
         light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
         ds = light_mod.sample_direct(
-            scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
+            scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env,
+            kinds=scene.light_kinds,
         )
         f_nee, pdf_hit, _ = mat_mod.eval_pdf_bsdf(
-            isect.params, isect.normal, isect.gn, isect.w_out, ds.dir
+            isect.params, isect.normal, isect.gn, isect.w_out, ds.dir,
+            kinds=scene.mat_kinds,
         )
         pdf_lightpick = 1.0 / num_lights
         pdf_di = pdf_lightpick * ds.pdf_direct_w
@@ -272,7 +274,8 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
     rr_pdf = russian_roulette_prob(c["throughput"])
     survive = urr < rr_pdf
     wi, f, pdf, spec, valid = mat_mod.sample_bsdf(
-        isect.params, isect.normal, isect.gn, isect.w_out, u1, u2, u3
+        isect.params, isect.normal, isect.gn, isect.w_out, u1, u2, u3,
+        kinds=scene.mat_kinds,
     )
     cos_term = jnp.abs(dot(isect.normal, wi))
     new_throughput = (

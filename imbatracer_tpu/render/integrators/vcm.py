@@ -139,7 +139,8 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
     light_idx = (path_id * num_lights) // light_path_count
     state, (u1, u2, u3, u4) = rng_mod.next_floats(state, 4)
     es = light_mod.sample_emit(
-        scene.lights, light_idx, u1, u2, u3, u4, scene.bsphere, scene.env
+        scene.lights, light_idx, u1, u2, u3, u4, scene.bsphere, scene.env,
+        kinds=scene.light_kinds,
     )
 
     throughput = es.radiance / pdf_lightpick
@@ -274,7 +275,8 @@ def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
     cos_surf = jnp.abs(shading_normal_adjoint(isect.normal, isect.gn, isect.w_out, dir_c))
 
     f, _, pdf_rev = mat_mod.eval_pdf_bsdf(
-        isect.params, isect.normal, isect.gn, isect.w_out, dir_c)
+        isect.params, isect.normal, isect.gn, isect.w_out, dir_c,
+        kinds=scene.mat_kinds)
     valid = valid & (pdf_rev > 0.0)
 
     img_to_surf = (cam.img_plane_dist ** 2 * cos_surf) / jnp.maximum(
@@ -312,7 +314,7 @@ def _bounce(scene, isect, throughput, d_vc, d_vcm, d_vm, active, state, hit,
 
     wi, f, pdf_dir, spec, valid = mat_mod.sample_bsdf(
         isect.params, isect.normal, isect.gn, isect.w_out, u1, u2, u3,
-        adjoint=adjoint,
+        adjoint=adjoint, kinds=scene.mat_kinds,
     )
     if algo == "ppm" and not adjoint:
         # PPM camera paths only follow specular chains (vcm.cpp:147-149).
@@ -320,7 +322,8 @@ def _bounce(scene, isect, throughput, d_vc, d_vcm, d_vm, active, state, hit,
 
     pdf_rev = jnp.where(
         spec, pdf_dir,
-        mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, wi, isect.w_out),
+        mat_mod.pdf_bsdf(isect.params, isect.normal, isect.gn, wi, isect.w_out,
+                         kinds=scene.mat_kinds),
     )
     cos_i = jnp.where(
         adjoint,
@@ -588,11 +591,13 @@ def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
     state, (ul, ua, ub) = rng_mod.next_floats(state, 3)
     light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
     ds = light_mod.sample_direct(
-        scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env
+        scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env,
+        kinds=scene.light_kinds,
     )
     cos_i = jnp.abs(dot(isect.normal, ds.dir))
     f, pdf_dir, pdf_rev = mat_mod.eval_pdf_bsdf(
-        isect.params, isect.normal, isect.gn, isect.w_out, ds.dir)
+        isect.params, isect.normal, isect.gn, isect.w_out, ds.dir,
+        kinds=scene.mat_kinds)
     ok = active & (pdf_dir > 0.0) & (pdf_rev > 0.0)
 
     pdf_forward = jnp.where(ds.is_delta, 0.0, pdf_dir)
@@ -672,7 +677,8 @@ def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
 
     # Camera-side BSDF.
     f_cam, pdf_cam, pdf_cam_rev = mat_mod.eval_pdf_bsdf(
-        isect.params, isect.normal, isect.gn, isect.w_out, cdir)
+        isect.params, isect.normal, isect.gn, isect.w_out, cdir,
+        kinds=scene.mat_kinds)
 
     # Light-side BSDF (adjoint eval; same formulas for non-delta kinds).
     vparams = v["params"]
@@ -680,7 +686,7 @@ def _connect(scene, cache: LightVertexCache, cache_rec, isect, throughput,
     vgn = v["gn"]
     vout = v["w_out"]
     f_light, pdf_light, pdf_light_rev = mat_mod.eval_pdf_bsdf(
-        vparams, vn, vgn, vout, -cdir)
+        vparams, vn, vgn, vout, -cdir, kinds=scene.mat_kinds)
 
     ok = ok & (pdf_cam > 0) & (pdf_cam_rev > 0) & (pdf_light > 0) & (pdf_light_rev > 0)
 
@@ -757,7 +763,8 @@ def _vertex_merging(scene, cache: LightVertexCache, cache_rec, grid, isect,
             ok = active & ok_w[:, w_i]
             photon_in = r[:, 4:7]
             f, pdf_dir, pdf_rev = mat_mod.eval_pdf_bsdf(
-                isect.params, isect.normal, isect.gn, isect.w_out, photon_in)
+                isect.params, isect.normal, isect.gn, isect.w_out, photon_in,
+                kinds=scene.mat_kinds)
             ok = ok & (pdf_dir > 0.0) & (pdf_rev > 0.0) & jnp.any(
                 f != 0.0, axis=-1)
 

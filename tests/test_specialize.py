@@ -13,8 +13,6 @@ AnyDSL (reference: render/materials/materials.h virtual dispatch ->
 per-kind formula blocks).
 """
 
-import itertools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -151,6 +149,31 @@ def test_light_specialization_bitwise(kinds):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
             err_msg=f"output {i} kinds={kinds}")
+
+
+@pytest.mark.parametrize("algo", ["pt", "vcm"])
+def test_end_to_end_specialization(algo):
+    """Rendering with DeviceScene.mat_kinds/.light_kinds populated must
+    match the compile-everything scene: the integrators' wiring passes
+    the static kinds through every BSDF/light call site."""
+    from imbatracer_tpu.frontend.engine import make_frame_fn
+    from imbatracer_tpu.frontend.renderer import RenderSettings
+    from imbatracer_tpu.scene.procedural import make_cornell_scene
+
+    scene, meta = make_cornell_scene(with_boxes=True)
+    assert scene.mat_kinds, "builder did not populate mat_kinds"
+    assert scene.light_kinds, "builder did not populate light_kinds"
+    size = 32
+    settings = RenderSettings(width=size, height=size, algorithm=algo,
+                              max_path_len=4, light_path_count=256, spp=1)
+
+    def render(s):
+        frame_fn, _ = make_frame_fn(s, meta, settings)
+        return np.asarray(frame_fn(jnp.uint32(1)))
+
+    spec = render(scene)
+    full = render(scene.replace(mat_kinds=(), light_kinds=()))
+    np.testing.assert_allclose(spec, full, rtol=2e-4, atol=1e-5)
 
 
 def test_specialized_graph_is_smaller():
