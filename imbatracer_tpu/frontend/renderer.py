@@ -56,8 +56,15 @@ class RenderSettings:
         # lpc 524288->131072 gives 13.2->5.1 s/frame at equal-or-better 30 s
         # PSNR on cornell_vcm AND vcm_front (results/r4_lpc_quality.csv).
         # Cap the *default* only; an explicit --light-path-count still wins.
+        # Merge-free estimators (BPT/LT) don't need photon density — the
+        # chain10 sweep (results/r4_lpc_sweep_{bpt,vcm}.csv) measured BPT
+        # at lpc 2^16 equal-or-better at 30 s (36.84 vs 36.55 dB) with
+        # 1.4x faster frames, while VCM COLLAPSES below 2^17 (23.09 dB:
+        # the merge technique starves).  So the default cap is per-family.
         import os
-        cap = int(os.environ.get("IMBA_VCM_LPC_CAP", str(1 << 17)))
+        merge_free = self.algorithm in ("bpt", "lt")
+        default_cap = 1 << 16 if merge_free else 1 << 17
+        cap = int(os.environ.get("IMBA_VCM_LPC_CAP", str(default_cap)))
         return min((self.width * self.height) // 2, cap)
 
 
