@@ -154,25 +154,32 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
     # Constant carry inits must be *derived from inputs* so they are
     # device-varying under shard_map (same rule as pt.trace_paths; a
     # replicated init whose loop-carried value becomes varying is a
-    # shard_map type error).
-    fz = 0.0 * jnp.sum(es.dir[:1])                   # varying f32 zero
+    # shard_map type error).  path_id is ALWAYS varying (the shard wrapper
+    # offsets path_start by axis_index); es.* is NOT a safe source — under
+    # single-kind light specialization a delta emitter makes dir/radiance/
+    # pdfs compile-time constants (point: radiance; dir: direction; all:
+    # is_delta/pdf_direct_a), so every carry entry goes through _vary.
     iz = 0 * path_id[0]                              # varying i32 zero
-    _vary = lambda a: a + (iz.astype(a.dtype)
-                           if jnp.issubdtype(a.dtype, jnp.integer)
-                           else fz.astype(a.dtype))
+    fz = iz.astype(jnp.float32)                      # varying f32 zero
+    def _vary(a):
+        if jnp.issubdtype(a.dtype, jnp.bool_):
+            return a ^ (iz != 0)
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            return a + iz.astype(a.dtype)
+        return a + fz.astype(a.dtype)
     cache0 = empty_cache(cache_capacity) if cache_in is None else cache_in
     use_cc = algo != "ppm" and "cam_connect" in techniques
-    carry = dict(
-        org=es.pos + fz,  # point/dir emitter positions can be constant
+    carry = jax.tree.map(_vary, dict(
+        org=es.pos,
         d=es.dir,
-        tmin=jnp.full((L,), 1e-3, jnp.float32) + fz,
+        tmin=jnp.full((L,), 1e-3, jnp.float32),
         throughput=throughput,
         active=(es.pdf_emit_w > 0.0) & jnp.any(es.radiance != 0.0, axis=-1),
         finite=es.is_finite,
         d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm,
         state=state,
-        cache=jax.tree.map(_vary, cache0),
-    )
+        cache=cache0,
+    ))
     if use_cc:
         # Per-bounce camera-connection rows, logged and splatted ONCE
         # after the loop (a scatter-add per fori iteration de-vectorises,

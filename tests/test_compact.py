@@ -207,7 +207,13 @@ def test_sharded_compact_masked_matches_single_device(monkeypatch):
 
 def test_fused_frame_matches_banded(monkeypatch):
     """One-dispatch frame (outer jit unrolling the band loop,
-    pt.use_fused_frame) is bitwise the banded render."""
+    pt.use_fused_frame) estimates the same image as the banded render.
+
+    Ulp-level tolerance, not bitwise: the eager path compiles each band
+    as its own XLA program while the fused path compiles one unrolled
+    graph, and XLA makes different FMA/fusion choices per compilation
+    (with kind specialization on, ~2% of pixels differ by <=5e-7; with
+    IMBA_SPEC=0 the two happen to agree bitwise)."""
     import jax
 
     size, lanes = 32, 256  # 4 spp x 1024 px / 256 lanes -> 16 bands
@@ -223,7 +229,8 @@ def test_fused_frame_matches_banded(monkeypatch):
                                                      size, **kw))
     b, nb = fused(jnp.uint32(3))
     assert int(na) == int(nb)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_use_fused_frame_gating(monkeypatch):
