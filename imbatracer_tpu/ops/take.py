@@ -72,6 +72,36 @@ def take_rows_mxu(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(out, jnp.float32).T
 
 
+def take_rows_mxu8(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(T, K) f32 table, (R,) i32 idx -> (K, R): one bf16 one-hot matmul.
+
+    Byte-plane variant of :func:`take_rows_mxu`.  Each payload word is
+    split into four 8-bit planes, concatenated along the width, and
+    fetched with a SINGLE default-precision dot: integers <= 255 and the
+    one-hot's 0/1 are exact in bf16, and every output row sums exactly
+    one nonzero product into the f32 accumulator, so the round trip is
+    bit-exact (floats, ints, NaN, denormals) like the 16-bit variant.
+
+    vs take_rows_mxu: one 1-pass bf16 dot over 4K width instead of two
+    HIGHEST (bf16x3 multi-pass) f32 dots over 2K, and the (R, T) one-hot
+    is staged once in bf16 instead of twice in f32.
+    """
+    T, K = table.shape
+    bits = jax.lax.bitcast_convert_type(table, jnp.uint32)
+    planes = [((bits >> (8 * p)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+              for p in range(4)]
+    wide = jnp.concatenate(planes, axis=1)          # (T, 4K) bf16
+    onehot = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]).astype(
+        jnp.bfloat16)
+    out = jax.lax.dot(onehot, wide,
+                      preferred_element_type=jnp.float32)  # (R, 4K)
+    w = jnp.uint32(0)
+    for p in range(4):
+        b = jnp.round(out[:, p * K:(p + 1) * K]).astype(jnp.uint32)
+        w = w | (b << (8 * p))
+    return jax.lax.bitcast_convert_type(w, jnp.float32).T
+
+
 def take_rows_t(table: jnp.ndarray, idx: jnp.ndarray,
                 mode: str | None = None) -> jnp.ndarray:
     """Fetch rows of a (T, K) f32 table at per-lane indices, transposed.
@@ -98,4 +128,6 @@ def take_rows_t(table: jnp.ndarray, idx: jnp.ndarray,
         return take_rows_select(table, idx)
     if mode == "mxu":
         return take_rows_mxu(table, idx)
+    if mode == "mxu8":
+        return take_rows_mxu8(table, idx)
     return table[idx].T

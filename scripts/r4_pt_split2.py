@@ -59,10 +59,10 @@ def main():
                                    with_stats=True)
     n_rays = int(n_rays)
 
-    variants = [("full", ())]
+    variants = [("full", ()),
+                ("no_interaction", ("interaction",))]  # - shade-record fetch
     if TAKE_MODE in ("gather", ""):
         variants += [
-            ("no_interaction", ("interaction",)),  # - shade-record fetch
             ("no_shadow", ("shadow",)),            # - NEE any_hit only
             ("no_nee", ("nee",)),                  # - NEE math + shadow
             ("no_emit", ("emit",)),                # - emitter-MIS block

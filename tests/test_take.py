@@ -11,8 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from imbatracer_tpu.ops.take import (take_rows_mxu, take_rows_select,
-                                     take_rows_t)
+from imbatracer_tpu.ops.take import (take_rows_mxu, take_rows_mxu8,
+                                     take_rows_select, take_rows_t)
 
 
 def _table(T, K, seed):
@@ -37,14 +37,16 @@ def test_tiers_bitwise_vs_gather(T):
 
     got_sel = np.asarray(jax.jit(take_rows_select)(tab, idx))
     got_mxu = np.asarray(jax.jit(take_rows_mxu)(tab, idx))
+    got_mx8 = np.asarray(jax.jit(take_rows_mxu8)(tab, idx))
     assert (got_sel.view(np.uint32) == want.view(np.uint32)).all()
     assert (got_mxu.view(np.uint32) == want.view(np.uint32)).all()
+    assert (got_mx8.view(np.uint32) == want.view(np.uint32)).all()
 
 
 def test_router_modes_agree():
     tab = _table(20, 6, seed=9)
     idx = np.arange(20, dtype=np.int32)[::-1]
     want = np.asarray(take_rows_t(tab, idx, mode="gather"))
-    for mode in ("select", "mxu", "auto"):
+    for mode in ("select", "mxu", "mxu8", "auto"):
         got = np.asarray(take_rows_t(tab, idx, mode=mode))
         assert (got.view(np.uint32) == want.view(np.uint32)).all(), mode
