@@ -37,12 +37,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from .pallas_stream import (BIG, BLK, GROUP, NGROUP, TILE_ROWS, TRI_ROWS,
                             _chunk_slab, _compact_groups, _mt_group,
                             _ray_cols, _rays8t, _scene_bounds, _slab_row,
                             sort_keys, superchunk_candidates)
 
-K = 4
+# Hits returned per dispatch.  Larger K resolves deeper masked stacks per
+# round but pays a weaker early-exit bound (the walk prunes on the K-th
+# nearest, not the 1st) and K x slot-insertion work per candidate; K=4
+# took the canopy frame from 5.9x to 2.5x its opaque cost
+# (results/bench_masked.csv).  Env-tunable for A/B runs (shallow mask
+# stacks may prefer K=2: most of the per-trace cost is the FIRST
+# dispatch, whose bound tightness scales with K).
+K = int(os.environ.get("IMBA_KHIT_K", "4"))
 
 
 def _khit_kernel(*refs):

@@ -85,6 +85,13 @@ def take_rows_mxu8(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     vs take_rows_mxu: one 1-pass bf16 dot over 4K width instead of two
     HIGHEST (bf16x3 multi-pass) f32 dots over 2K, and the (R, T) one-hot
     is staged once in bf16 instead of twice in f32.
+
+    Measured (r4_chain12, fused dense cornell 1024², 36-row tables): the
+    byte-plane fetch LOSES — 69.8 vs 56.3 ms/frame (ablated fetch cost
+    26.4 vs 14.5 ms).  At tiny T the dots are operand-staging-bound, so
+    doubling the output width (4K vs 2K) costs more than dropping
+    HIGHEST saves.  Stays opt-in (IMBA_TAKE=mxu8); the large-T crossover
+    (2188-row specular cornell) is A/B'd in chain14.
     """
     T, K = table.shape
     bits = jax.lax.bitcast_convert_type(table, jnp.uint32)
