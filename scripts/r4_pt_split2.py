@@ -61,7 +61,7 @@ def main():
 
     variants = [("full", ()),
                 ("no_interaction", ("interaction",))]  # - shade-record fetch
-    if TAKE_MODE in ("gather", ""):
+    if TAKE_MODE in ("gather", "") or os.environ.get("IMBA_SPLIT_ALL") == "1":
         variants += [
             ("no_shadow", ("shadow",)),            # - NEE any_hit only
             ("no_nee", ("nee",)),                  # - NEE math + shadow
