@@ -296,8 +296,17 @@ def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
     valid AND masked out (more surfaces may lie beyond the 4th).  Exact:
     the kernel's K-set is gap-free (per-column slot superset argument,
     ops/pallas_khit.py), so no surface between returned hits can be
-    skipped."""
+    skipped.
+
+    IMBA_MASK_PREPASS=1 prepends a plain single-hit dispatch over all
+    lanes: its early-exit bound is the TIGHTEST possible (prunes on the
+    1st nearest, not the K-th — the khit kernel's dominant cost is this
+    first full-batch walk), and every lane whose nearest surface is
+    opaque resolves right there.  Only lanes whose first hit alpha-tests
+    transparent enter the khit loop, sorted into leading blocks so the
+    K-hit walk pays for the unresolved count, not the batch."""
     from ..ops.pallas_khit import K, khit_sorted
+    from ..ops.pallas_stream import closest_hit_sorted
 
     org = _recenter(bvh, org)
     num_r = org.shape[0]
@@ -308,6 +317,22 @@ def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
     hit0 = Hit(t=jnp.full((num_r,), BIG), prim_id=jnp.full((num_r,), -1,
                                                            jnp.int32),
                u=jnp.zeros((num_r,)), v=jnp.zeros((num_r,)))
+
+    if _os.environ.get("IMBA_MASK_PREPASS", "0") == "1":
+        h1 = closest_hit_sorted(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
+                                active=act, inst=None)
+        got = act & (h1.prim_id >= 0)
+        opaque = alpha_fn(jnp.maximum(h1.prim_id, 0), h1.u, h1.v)
+        resolved = got & opaque
+        hit0 = Hit(
+            t=jnp.where(resolved, h1.t, hit0.t),
+            prim_id=jnp.where(resolved, h1.prim_id, hit0.prim_id),
+            u=jnp.where(resolved, h1.u, hit0.u),
+            v=jnp.where(resolved, h1.v, hit0.v),
+        )
+        need = got & ~opaque
+        tmin = jnp.where(need, h1.t + 1e-3 * jnp.maximum(h1.t, 1e-3), tmin)
+        act = need
 
     def cond(st):
         k, need, _, _ = st

@@ -179,6 +179,22 @@ def test_masked_deep_stack_exact():
     hs2 = _interp(run_sorted)
     np.testing.assert_allclose(np.asarray(hs2.t), want_t, rtol=1e-4)
 
+    # The single-hit prepass (IMBA_MASK_PREPASS=1) must be bitwise
+    # identical to the plain khit loop: it only changes WHICH dispatch
+    # resolves a lane, not the surface it lands on.
+    import os
+
+    os.environ["IMBA_MASK_PREPASS"] = "1"
+    try:
+        hp = _interp(run)
+    finally:
+        os.environ.pop("IMBA_MASK_PREPASS")
+    np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hs.t))
+    np.testing.assert_array_equal(np.asarray(hp.prim_id),
+                                  np.asarray(hs.prim_id))
+    np.testing.assert_array_equal(np.asarray(hp.u), np.asarray(hs.u))
+    np.testing.assert_array_equal(np.asarray(hp.v), np.asarray(hs.v))
+
 
 def test_masked_scene_render_shadows():
     """End-to-end: PT render of the masked cornell variant; the floor
