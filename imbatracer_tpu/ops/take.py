@@ -36,9 +36,11 @@ import jax.numpy as jnp
 SELECT_MAX_ROWS = int(os.environ.get("IMBA_TAKE_SELECT_MAX", "64"))
 # Measured (results/r4_chain6.log): mxu wins the fused dense cornell
 # frame at 36 rows (88.2 vs 102.5 ms gather, 93.2 select) and loses
-# ~2.5% at 2188 rows (slice_ab take=mxu rows).  The cost model (2 f32
-# HIGHEST dots of R x T x 48) crosses the ~0.9 ms/262k-lane gather
-# around T~1k; 512 is the conservative default ceiling.
+# ~3% at 2188 rows — same-tree controls in r4_chain14.log: gather
+# bpt 2165 / vcm 4187 ms vs mxu 2240 / 4285 and mxu8 2212 / 4237
+# (chain12), so above the tier EVERY one-hot variant loses.  The cost
+# model (2 f32 HIGHEST dots of R x T x 48) crosses the ~0.9 ms/262k-lane
+# gather around T~1k; 512 is the conservative default ceiling.
 MXU_MAX_ROWS = int(os.environ.get("IMBA_TAKE_MXU_MAX", "512"))
 # Routing override: "auto" | "gather" | "select" | "mxu".
 TAKE_MODE = os.environ.get("IMBA_TAKE", "auto")
