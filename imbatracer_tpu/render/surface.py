@@ -53,20 +53,42 @@ def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> Surface
     """Gather per-hit shading data with a single wide-record gather.
     `hit.prim_id` < 0 rows produce garbage that callers must mask."""
     prim = jnp.maximum(hit.prim_id, 0)
-    # One logical fetch, transposed once: row slices of (48, R) are
-    # contiguous (column extracts of (R, 48) are cross-lane shuffles,
+    # One logical fetch, transposed once: row slices of (C, R) are
+    # contiguous (column extracts of (R, C) are cross-lane shuffles,
     # ~6x slower).  take_rows_t routes small tables to gather-free
     # bit-exact forms (select chain / one-hot MXU) under IMBA_TAKE.
+    # The record holds only the statically-consumable column subset
+    # (scene/types.py::shade_columns); `cpos` maps canonical column ids
+    # to stored positions, and absent columns read as cheap lane-varying
+    # zeros / -1 ids (their consumers are statically absent too).
     rec_t = take_rows_t(scene.attrs.shade_rec, prim)
-    row3 = lambda c: rec_t[c:c + 3].T
-    row2 = lambda c: rec_t[c:c + 2].T
-    bits = lambda c: jax.lax.bitcast_convert_type(rec_t[c], jnp.int32)
+    cpos = {c: i for i, c in enumerate(scene.attrs.shade_cols)}
+    zero1 = hit.t * 0.0
+
+    def row1(c):
+        return rec_t[cpos[c]] if c in cpos else zero1
+
+    def row3(c):
+        if c in cpos:
+            return rec_t[cpos[c]:cpos[c] + 3].T
+        return jnp.zeros((3,), rec_t.dtype) + zero1[..., None]
+
+    def row2(c):
+        return rec_t[cpos[c]:cpos[c] + 2].T
+
+    def bits(c, absent=-1):
+        if c in cpos:
+            return jax.lax.bitcast_convert_type(rec_t[cpos[c]], jnp.int32)
+        return zero1.astype(jnp.int32) + absent
 
     w0 = (1.0 - hit.u - hit.v)[..., None]
     wu = hit.u[..., None]
     wv = hit.v[..., None]
 
-    uv = w0 * row2(12) + wu * row2(14) + wv * row2(16)
+    if 12 in cpos:
+        uv = w0 * row2(12) + wu * row2(14) + wv * row2(16)
+    else:
+        uv = jnp.zeros((2,)) + zero1[..., None]
     n = normalize(w0 * row3(0) + wu * row3(3) + wv * row3(6))
     gn = row3(9)
     mat_id = bits(18)
@@ -86,8 +108,8 @@ def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> Surface
         kd=kd,
         ks=row3(26),
         tf=row3(29),
-        ns=rec_t[32],
-        ior=rec_t[33],
+        ns=row1(32),
+        ior=row1(33),
         emit=row3(34),
         kd_tex=kd_tex,
         bump_tex=bits(39),
@@ -111,7 +133,7 @@ def make_interaction(scene, hit: Hit, org, d, has_bump: bool = False) -> Surface
         mat_id=mat_id,
         light_id=light_id,
         emit=row3(34),
-        area=rec_t[37],
+        area=row1(37),
         params=params,
     )
 

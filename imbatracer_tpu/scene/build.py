@@ -37,7 +37,7 @@ from ..render import lights as light_mod
 from ..render.envmap import build_envmap
 from ..utils.log import logger
 from .textures import pack_textures
-from .types import DeviceScene, SceneMeta, TriAttrs
+from .types import DeviceScene, SceneMeta, TriAttrs, shade_columns
 
 import flax.struct  # noqa: E402  (jnp conversion at the end)
 import jax.numpy as jnp  # noqa: E402
@@ -549,6 +549,16 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
     else:
         mat_kinds, light_kinds = (), ()
 
+    # Drop shade_rec columns no consumer can read (scene/types.py::
+    # shade_columns): the one-hot record fetch pays per column.
+    shade_cols = shade_columns(
+        mat_kinds,
+        has_textures=len(textures) > 0,
+        has_bump=bool((arr("bump_tex", np.int32) >= 0).any()),
+        has_masks=bool((arr("mask_tex", np.int32) >= 0).any()),
+    )
+    shade_rec = shade_rec[:, list(shade_cols)]
+
     if two_level_bvh is None:
         bvh_stats = threaded.stats
     scene = DeviceScene(
@@ -559,6 +569,7 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
         attrs=TriAttrs(
             rec=jnp.asarray(attr_rec),
             shade_rec=jnp.asarray(shade_rec),
+            shade_cols=shade_cols,
             n0=jnp.asarray(attrs["n0"]), n1=jnp.asarray(attrs["n1"]),
             n2=jnp.asarray(attrs["n2"]), uv0=jnp.asarray(attrs["uv0"]),
             uv1=jnp.asarray(attrs["uv1"]), uv2=jnp.asarray(attrs["uv2"]),

@@ -38,11 +38,18 @@ class TriAttrs:
 
     rec: jnp.ndarray      # (F, 24) f32 wide record (layout above)
     # shade_rec: rec[0:22] joined with the triangle's material row and
-    # emitter data so one gather serves the whole shading step:
+    # emitter data so one gather serves the whole shading step.  CANONICAL
+    # column meanings (before pruning):
     #   [.. rec cols 0..21 .., kind(22), kd(23:26), ks(26:29), tf(29:32),
     #    ns(32), ior(33), emit(34:37), area(37), kd_tex(38), bump_tex(39),
     #    mask_tex(40), pad..48]  (integer cols are i32 bit patterns)
-    shade_rec: jnp.ndarray  # (F, 48) f32 combined record
+    # The stored array keeps only the columns the scene's shading step can
+    # consume (see shade_columns below): `shade_cols[i]` names the
+    # canonical column stored at position i.  Consumers (surface.
+    # make_interaction) look positions up through this static tuple and
+    # substitute cheap varying zeros for absent columns — bit-exact, since
+    # absent columns feed only statically-absent formula blocks.
+    shade_rec: jnp.ndarray  # (F, len(shade_cols)) f32 combined record
     n0: jnp.ndarray       # (F, 3) shading normal at vert 0
     n1: jnp.ndarray       # (F, 3)
     n2: jnp.ndarray       # (F, 3)
@@ -54,6 +61,52 @@ class TriAttrs:
     light_id: jnp.ndarray  # (F,) i32, -1 unless the triangle is an emitter
     inst_id: jnp.ndarray  # (F,) i32 source instance
     local_id: jnp.ndarray  # (F,) i32 triangle id within the source mesh
+    # Static (pytree-aux): canonical shade_rec column ids actually stored,
+    # in order (see the shade_rec comment above).
+    shade_cols: tuple = flax.struct.field(
+        pytree_node=False, default=tuple(range(48)))
+
+
+def shade_columns(mat_kinds: tuple, has_textures: bool, has_bump: bool,
+                  has_masks: bool) -> tuple:
+    """Static shade_rec column subset the shading step can consume.
+
+    The one-hot-matmul record fetch (ops/take.py, the auto tier for small
+    tables) pays per COLUMN — two HIGHEST f32 dots of width 2*len(cols) —
+    so columns no consumer can read are pure cost.  Unconditionally dead:
+    inst/local ids (20, 21; kept in TriAttrs.rec for tooling) and the pad
+    (41:47).  Conditionally dead, keyed on the same static facts that
+    drive kind specialization: uv + texture ids without textures, ks/tf/
+    ns/ior when no present material kind reads them (see
+    render/materials.py formula blocks).  `mat_kinds == ()` means
+    "unknown" — keep every kind-dependent column.  IMBA_PRUNE=0 restores
+    the full canonical layout (A/B control)."""
+    import os
+
+    if os.environ.get("IMBA_PRUNE", "1") == "0":
+        return tuple(range(48))
+    kinds = set(mat_kinds) if mat_kinds else {0, 1, 2, 3, 4, 5}
+    cols = list(range(12))                    # n0 n1 n2 gn
+    if has_textures or has_masks:
+        cols += list(range(12, 18))           # uv0 uv1 uv2
+    cols += [18, 19]                          # mat_id, light_id
+    cols += [22, 23, 24, 25]                  # kind, kd
+    if kinds & {1, 2, 3, 4}:                  # mirror/glass/glossy/phong
+        cols += [26, 27, 28]                  # ks
+    if 2 in kinds:                            # glass
+        cols += [29, 30, 31]                  # tf
+    if kinds & {1, 3, 4, 5}:                  # exponent / kappa / sigma
+        cols += [32]                          # ns
+    if 2 in kinds:
+        cols += [33]                          # ior
+    cols += [34, 35, 36, 37]                  # emit, area
+    if has_textures:
+        cols += [38]                          # kd_tex
+    if has_bump and has_textures:
+        cols += [39]                          # bump_tex
+    if has_masks:
+        cols += [40]                          # mask_tex
+    return tuple(cols)
 
 
 @flax.struct.dataclass
