@@ -28,4 +28,10 @@ run() {
 run env IMBA_SPLIT_ALL=1 python scripts/r4_pt_split2.py
 run env IMBA_TAKE=select python scripts/r4_pt_split2.py
 
+#   3. shade_rec column-pruning A/B (commit a7a3f59): the runs above use
+#      the pruned record (48 -> 22 cols on cornell-org); this is the
+#      same-session unpruned control (full + no_interaction rows give
+#      the fetch-cost delta directly).
+run env IMBA_PRUNE=0 python scripts/r4_pt_split2.py
+
 echo "=== chain15 done $(date) ===" >> $LOG
