@@ -318,7 +318,7 @@ def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
                                                            jnp.int32),
                u=jnp.zeros((num_r,)), v=jnp.zeros((num_r,)))
 
-    if _os.environ.get("IMBA_MASK_PREPASS", "0") == "1":
+    if _os.environ.get("IMBA_MASK_PREPASS", "1") == "1":
         h1 = closest_hit_sorted(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
                                 active=act, inst=None)
         got = act & (h1.prim_id >= 0)

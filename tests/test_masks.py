@@ -179,12 +179,14 @@ def test_masked_deep_stack_exact():
     hs2 = _interp(run_sorted)
     np.testing.assert_allclose(np.asarray(hs2.t), want_t, rtol=1e-4)
 
-    # The single-hit prepass (IMBA_MASK_PREPASS=1) must be bitwise
-    # identical to the plain khit loop: it only changes WHICH dispatch
-    # resolves a lane, not the surface it lands on.
+    # The single-hit prepass (IMBA_MASK_PREPASS, default on) must be
+    # bitwise identical to the plain khit loop: it only changes WHICH
+    # dispatch resolves a lane, not the surface it lands on.  `hs`
+    # above ran with the default (prepass on); this is the plain-loop
+    # control.
     import os
 
-    os.environ["IMBA_MASK_PREPASS"] = "1"
+    os.environ["IMBA_MASK_PREPASS"] = "0"
     try:
         hp = _interp(run)
     finally:
