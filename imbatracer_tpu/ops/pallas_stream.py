@@ -63,6 +63,8 @@ Data layouts:
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -645,8 +647,48 @@ def _scene_bounds(sbox):
     return lo, hi
 
 
+def first_chunk(org, d, tmin, tmax, active, sbox):
+    """Per-ray NEAREST candidate super-chunk id (argmin entry t over the
+    slab hits; inactive / no-candidate rays get num_s so they compact
+    into trailing blocks).  Same group-of-8 slab structure as
+    superchunk_candidates, reduced per ray instead of per block."""
+    num_s = sbox.shape[0]
+    num_r = org.shape[0]
+    o = org.T[None]                            # (1, 3, R)
+    inv = _safe_inv(d.T)[None]                 # (1, 3, R)
+    tmn = tmin[None]                           # (1, R)
+    tmx = tmax[None]
+    best_t = jnp.full((num_r,), BIG, jnp.float32)
+    best_c = jnp.full((num_r,), num_s, jnp.int32)
+    G = 8
+    for g in range(0, num_s, G):
+        gs = min(G, num_s - g)
+        lo = sbox[g : g + gs, 0:3][:, :, None]     # (gs, 3, 1)
+        hi = sbox[g : g + gs, 3:6][:, :, None]
+        t0 = (lo - o) * inv                        # (gs, 3, R)
+        t1 = (hi - o) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=1)  # (gs, R)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=1)
+        m = (tn <= tf) & (tf >= tmn) & (tn <= tmx)
+        key = jnp.where(m, jnp.maximum(tn, 0.0), BIG)
+        gmin = jnp.min(key, axis=0)                # (R,)
+        garg = jnp.argmin(key, axis=0).astype(jnp.int32) + g
+        take = gmin < best_t
+        best_t = jnp.where(take, gmin, best_t)
+        best_c = jnp.where(take, garg, best_c)
+    return jnp.where(active, best_c, jnp.int32(num_s))
+
+
 def _sorted_dispatch(fn, sbox, tiles, org, d, tmin, tmax, active, inst):
-    """Sort rays by sort_keys, dispatch fn on the sorted stream, unsort."""
+    """Sort rays by sort_keys, dispatch fn on the sorted stream, unsort.
+
+    IMBA_SORT_KEY (read at trace time) picks the key: "morton" = origin
+    Morton + direction octant (round-2 default).  "chunk" = per-ray
+    nearest candidate super-chunk id major, morton minor: block-mates
+    then share their FIRST (and usually decisive, front-to-back)
+    candidate, so divergent batches stop paying for block-mates'
+    disjoint walks.  Any permutation is exact -- purely a coherence
+    knob."""
     num_r = org.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
@@ -654,7 +696,11 @@ def _sorted_dispatch(fn, sbox, tiles, org, d, tmin, tmax, active, inst):
     lo, hi = _scene_bounds(sbox)
     key = sort_keys(org, d, act, lo, hi)
     iota = jnp.arange(num_r, dtype=jnp.int32)
-    _, perm = jax.lax.sort((key, iota), num_keys=1)
+    if _os.environ.get("IMBA_SORT_KEY", "morton") == "chunk" and inst is None:
+        ckey = first_chunk(org, d, tmin, tmax, act, sbox)
+        _, _, perm = jax.lax.sort((ckey, key, iota), num_keys=2)
+    else:
+        _, perm = jax.lax.sort((key, iota), num_keys=1)
     res = fn(sbox, tiles, org[perm], d[perm], tmin[perm], tmax[perm],
              active=act[perm], inst=inst)
     _, inv = jax.lax.sort((perm, iota), num_keys=1)
