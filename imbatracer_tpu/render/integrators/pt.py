@@ -218,10 +218,22 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
         )
         active = active & ~is_emitter  # emitter hits terminate (pt.cpp:152)
 
+    # Profiling-only RNG stand-in ("rng" ablation): lane-varying floats
+    # from a two-op hash of state already in registers, so the PCG
+    # chains DCE but every consumer stays live and lane-varying.
+    def _fake_floats(k, count):
+        base = (c["org"][..., 0] * 12.9898 + c["org"][..., 2] * 78.233
+                + c["depth"].astype(jnp.float32) * 0.731 + k)
+        return tuple(jnp.mod(base * (0.61 + 0.07 * i) + 0.13 * i, 1.0)
+                     for i in range(count))
+
     # ---- next-event estimation (pt.cpp:17-44) ----------------------
     st = c["state"]
     if "nee" not in ablate:
-        st, (ul, ua, ub) = rng_mod.next_floats(st, 3)
+        if "rng" in ablate:
+            ul, ua, ub = _fake_floats(0.0, 3)
+        else:
+            st, (ul, ua, ub) = rng_mod.next_floats(st, 3)
         light_idx = jnp.minimum((ul * num_lights).astype(jnp.int32), num_lights - 1)
         ds = light_mod.sample_direct(
             scene.lights, light_idx, isect.pos, ua, ub, scene.bsphere, scene.env,
@@ -270,13 +282,33 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
             depth=c["depth"] + 1, last_pdf=c["last_pdf"],
             last_specular=c["last_specular"], state=st, n_rays=n_rays,
         )
-    st, (urr, u1, u2, u3) = rng_mod.next_floats(st, 4)
-    rr_pdf = russian_roulette_prob(c["throughput"])
-    survive = urr < rr_pdf
-    wi, f, pdf, spec, valid = mat_mod.sample_bsdf(
-        isect.params, isect.normal, isect.gn, isect.w_out, u1, u2, u3,
-        kinds=scene.mat_kinds,
-    )
+    if "rng" in ablate:
+        urr, u1, u2, u3 = _fake_floats(3.0, 4)
+    else:
+        st, (urr, u1, u2, u3) = rng_mod.next_floats(st, 4)
+    if "rr" in ablate:
+        rr_pdf = jnp.ones_like(urr)
+        survive = urr > -1.0
+    else:
+        rr_pdf = russian_roulette_prob(c["throughput"])
+        survive = urr < rr_pdf
+    if "bsdf" in ablate:
+        # Profiling only: deterministic hemisphere direction (mirror
+        # reflection about the shading normal) with flat f/pdf, so the
+        # whole sampling chain DCEs but the carry update, RR, traversal
+        # and NEE of later bounces stay live and lane-varying.
+        nn = isect.normal
+        wi = normalize(2.0 * dot(nn, isect.w_out)[..., None] * nn
+                       - isect.w_out)
+        f = isect.params["kd"] * 0.3183
+        pdf = jnp.full_like(u1, 0.5)
+        spec = u1 > 2.0
+        valid = u1 > -1.0
+    else:
+        wi, f, pdf, spec, valid = mat_mod.sample_bsdf(
+            isect.params, isect.normal, isect.gn, isect.w_out, u1, u2, u3,
+            kinds=scene.mat_kinds,
+        )
     cos_term = jnp.abs(dot(isect.normal, wi))
     new_throughput = (
         c["throughput"] * f * (cos_term / jnp.maximum(pdf * rr_pdf, 1e-20))[..., None]

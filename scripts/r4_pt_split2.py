@@ -68,6 +68,17 @@ def main():
             ("no_emit", ("emit",)),                # - emitter-MIS block
             ("trace_only", ("nee", "emit", "bounce")),
         ]
+    if os.environ.get("IMBA_SPLIT_FLOOR") == "1":
+        # Decompose the ~32 ms bounce-chain share: RNG chains, Russian
+        # roulette, BSDF sampling (each knocked out with lane-varying
+        # stand-ins so downstream work stays live).
+        variants = [
+            ("full", ()),
+            ("no_rng", ("rng",)),
+            ("no_rr", ("rr",)),
+            ("no_bsdf", ("bsdf",)),
+            ("no_brm", ("rng", "rr", "bsdf")),     # all three
+        ]
 
     base = None
     for name, abl in variants:
