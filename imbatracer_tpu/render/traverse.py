@@ -182,7 +182,9 @@ def _node_fetch(table, node, ox, oy, oz, ix, iy, iz, tmin, t_limit, active):
 # not the batch).  MASK_MAX_ROUNDS is only a runaway guard (tmin strictly
 # advances every round, so termination is already guaranteed; the guard
 # caps a pathological epsilon stall).
-MASK_MAX_ROUNDS = 4096
+# IMBA_MASK_MAX_ROUNDS override is for PROFILING ONLY (0 = time the
+# prepass alone; the image is wrong whenever a lane still needed rounds).
+# Defined below the _os import.
 
 # Route incoherent (sort=True) stream dispatches through the pair-stream
 # kernel (ops/pallas_pairs.py).  OFF by default after round-3 end-to-end
@@ -196,6 +198,8 @@ MASK_MAX_ROUNDS = 4096
 # zero-divergence kernel saves at current saturation rates.
 # Env override for experiments: IMBA_USE_PAIRS=1.
 import os as _os
+
+MASK_MAX_ROUNDS = int(_os.environ.get("IMBA_MASK_MAX_ROUNDS", "4096"))
 
 USE_PAIRS = _os.environ.get("IMBA_USE_PAIRS", "0") == "1"
 
