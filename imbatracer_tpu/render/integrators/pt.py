@@ -43,7 +43,43 @@ from ..traverse import Hit, any_hit, closest_hit
 
 def alpha_fn_for(scene):
     """Transparency-mask hook for traversal (the reference's "masked"
-    kernel variants); None-able at call sites for mask-free scenes."""
+    kernel variants); None-able at call sites for mask-free scenes.
+
+    Fast path: the pre-joined narrow mask record (TriAttrs.mask_rec,
+    built in scene/build.py) makes each alpha test TWO gathers (row +
+    texel) instead of the ~6-deep chain through shade record, material
+    row and atlas geometry — gathers are the flat per-lane cost on this
+    chip (CLAUDE.md), so depth-of-chain is the whole cost.  The texel
+    math reproduces textures.sample_mask bit-exactly (same wrap, same
+    binarisation, core/mask.h:33-40).  IMBA_MASK_REC=0 restores the
+    chained path (A/B control)."""
+    import os as _o
+
+    mask_rec = getattr(scene.attrs, "mask_rec", None)
+    if mask_rec is not None and _o.environ.get("IMBA_MASK_REC", "1") != "0":
+
+        def alpha_fn(prim, u, v):
+            import jax.lax
+
+            from ...scene.textures import _wrap_uv
+
+            rec = mask_rec[prim]
+            mt = jax.lax.bitcast_convert_type(rec[:, 0], jnp.int32)
+            w = jax.lax.bitcast_convert_type(rec[:, 1], jnp.int32)
+            h = jax.lax.bitcast_convert_type(rec[:, 2], jnp.int32)
+            off = jax.lax.bitcast_convert_type(rec[:, 3], jnp.int32)
+            w0 = 1.0 - u - v
+            tu = w0 * rec[:, 4] + u * rec[:, 6] + v * rec[:, 8]
+            tv = w0 * rec[:, 5] + u * rec[:, 7] + v * rec[:, 9]
+            tu, tv = _wrap_uv(tu, tv)
+            x = jnp.clip((tu * w.astype(jnp.float32)).astype(jnp.int32),
+                         0, w - 1)
+            y = jnp.clip((tv * h.astype(jnp.float32)).astype(jnp.int32),
+                         0, h - 1)
+            texel = scene.textures.texels[off + y * w + x]
+            return (jnp.sum(texel, axis=-1) > 0.0) | (mt < 0)
+
+        return alpha_fn
 
     def alpha_fn(prim, u, v):
         import jax.lax

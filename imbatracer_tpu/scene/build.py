@@ -559,6 +559,27 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
     )
     shade_rec = shade_rec[:, list(shade_cols)]
 
+    atlas = pack_textures(textures)
+
+    # Narrow mask record (TriAttrs.mask_rec): pre-join the whole
+    # alpha-test gather chain (tri -> material -> atlas geometry) into
+    # one row per triangle so traversal alpha tests cost two gathers.
+    mask_tex_tri = arr("mask_tex", np.int32)[mid]
+    mask_rec = None
+    if (mask_tex_tri >= 0).any():
+        a_off = np.asarray(atlas.offset, np.int32)
+        a_w = np.asarray(atlas.width, np.int32)
+        a_h = np.asarray(atlas.height, np.int32)
+        mt = np.maximum(mask_tex_tri, 0)
+        mask_rec = np.zeros((F, 10), np.float32)
+        mask_rec[:, 0] = mask_tex_tri.view(np.float32)
+        mask_rec[:, 1] = a_w[mt].view(np.float32)
+        mask_rec[:, 2] = a_h[mt].view(np.float32)
+        mask_rec[:, 3] = a_off[mt].view(np.float32)
+        mask_rec[:, 4:6] = attrs["uv0"]
+        mask_rec[:, 6:8] = attrs["uv1"]
+        mask_rec[:, 8:10] = attrs["uv2"]
+
     if two_level_bvh is None:
         bvh_stats = threaded.stats
     scene = DeviceScene(
@@ -578,10 +599,11 @@ def assemble_device_scene(v0, v1, v2, attrs, mat_rows, light_rows, textures, env
             light_id=jnp.asarray(attrs["light_id"]),
             inst_id=jnp.asarray(attrs["inst_id"]),
             local_id=jnp.asarray(attrs["local_id"]),
+            mask_rec=(None if mask_rec is None else jnp.asarray(mask_rec)),
         ),
         materials=material_table,
         lights=light_mod.build_light_table(light_rows),
-        textures=pack_textures(textures),
+        textures=atlas,
         bsphere=light_mod.BSphere(
             center=jnp.asarray(center, jnp.float32),
             radius=jnp.asarray(radius, jnp.float32),

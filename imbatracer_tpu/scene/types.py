@@ -61,6 +61,16 @@ class TriAttrs:
     light_id: jnp.ndarray  # (F,) i32, -1 unless the triangle is an emitter
     inst_id: jnp.ndarray  # (F,) i32 source instance
     local_id: jnp.ndarray  # (F,) i32 triangle id within the source mesh
+    # Narrow per-triangle mask record for alpha-masked traversal, or None
+    # for mask-free scenes.  The masked re-trace alpha-tests MILLIONS of
+    # candidate hits per frame and each test used to chain ~6 dependent
+    # gathers (22-col shade row -> material row -> 3 atlas-geometry rows
+    # -> texel); gathers are the flat ~3.3 ms/M-lane cost on this chip,
+    # so the chain is pre-joined at build into ONE row per triangle:
+    #   [mask_tex(0, i32 bits), atlas w(1)/h(2)/offset(3, i32 bits),
+    #    uv0(4:6), uv1(6:8), uv2(8:10)]
+    # alpha tests become exactly two gathers (row + texel).
+    mask_rec: Optional[jnp.ndarray] = None  # (F, 10) f32
     # Static (pytree-aux): canonical shade_rec column ids actually stored,
     # in order (see the shade_rec comment above).
     shade_cols: tuple = flax.struct.field(

@@ -266,3 +266,32 @@ def test_leaf_canopy_mask_semantics():
     got = np.asarray(hit.prim_id) >= 0
     ok = np.asarray(alpha_fn(jnp.maximum(hit.prim_id, 0), hit.u, hit.v))
     assert np.all(ok[got])
+
+
+def test_mask_rec_alpha_bitwise():
+    """The narrow pre-joined mask record (TriAttrs.mask_rec, two gathers
+    per alpha test) must reproduce the chained shade-record -> material
+    -> atlas lookup BIT-exactly on every primitive and barycentric."""
+    import os
+
+    from imbatracer_tpu.render.integrators.pt import alpha_fn_for
+    from imbatracer_tpu.scene.procedural import make_leaf_scene
+
+    scene, meta = make_leaf_scene(num_leaves=200)
+    assert scene.attrs.mask_rec is not None
+
+    fast = alpha_fn_for(scene)
+    os.environ["IMBA_MASK_REC"] = "0"
+    try:
+        slow = alpha_fn_for(scene)
+    finally:
+        del os.environ["IMBA_MASK_REC"]
+
+    rs = np.random.RandomState(7)
+    n = 8192
+    prim = jnp.asarray(rs.randint(0, meta.num_tris, n), jnp.int32)
+    u = jnp.asarray(rs.uniform(-0.2, 1.2, n), jnp.float32)  # incl. off-tri
+    v = jnp.asarray(rs.uniform(-0.2, 1.2, n), jnp.float32)
+    a = np.asarray(jax.jit(fast)(prim, u, v))
+    b = np.asarray(jax.jit(slow)(prim, u, v))
+    assert np.array_equal(a, b)
