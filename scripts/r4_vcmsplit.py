@@ -39,11 +39,13 @@ def log(line):
         f.write(line + "\n")
 
 
-def time_frame(scene, cam, base_radius, techniques, max_steps, reps=3):
+def time_frame(scene, cam, base_radius, techniques, max_steps, lpc,
+               mat_kinds, reps=3):
     def frame(i):
         return render_vcm_frame(
             scene, cam, jnp.uint32(i), base_radius, algo="vcm",
             width=SIZE, height=SIZE, max_len=10,
+            light_path_count=lpc, mat_kinds=mat_kinds,
             techniques=tuple(techniques), max_steps=max_steps,
         )
 
@@ -57,22 +59,32 @@ def time_frame(scene, cam, base_radius, techniques, max_steps, reps=3):
 def main():
     os.makedirs("/root/repo/results", exist_ok=True)
     scene, meta = build_scene(SCENE, quiet=True)
+    # Mirror the cornell_vcm QUALITY-ROW config (tools/run_bench.py):
+    # radius_factor 2.0 (reference bench default), the capped default
+    # light-path count (2^17 for merging algos), and the engine's
+    # static mat_kinds so the merge kernel is specialized — the split
+    # must decompose the same 3.3 s frame the 30 s row pays for.
+    import numpy as np
     settings = RenderSettings(width=SIZE, height=SIZE, algorithm="vcm",
-                              radius_factor=0.003)
+                              radius_factor=2.0)
+    lpc = settings.resolved_light_path_count()
+    mat_kinds = tuple(sorted(set(
+        int(k) for k in np.asarray(scene.materials.kind))))
     cam = camera_for_scene(meta, settings)
     px = estimate_pixel_size(scene, cam, meta)
     br = jnp.float32(px * settings.radius_factor)
     ms = traversal_steps(meta)
-    log(f"# r4_vcmsplit size={SIZE} scene=cornell_specular "
+    log(f"# r4_vcmsplit size={SIZE} scene=cornell_specular lpc={lpc} "
+        f"radius_factor={settings.radius_factor} mat_kinds={mat_kinds} "
         f"techniques={TECHNIQUES}")
 
-    full = time_frame(scene, cam, br, TECHNIQUES, ms)
+    full = time_frame(scene, cam, br, TECHNIQUES, ms, lpc, mat_kinds)
     log(f"full                : {full:8.1f} ms")
     for drop in ("merge", "connect", "next_event"):
         sub = tuple(t for t in TECHNIQUES if t != drop)
-        t = time_frame(scene, cam, br, sub, ms)
+        t = time_frame(scene, cam, br, sub, ms, lpc, mat_kinds)
         log(f"without {drop:12s}: {t:8.1f} ms  (delta {full - t:+7.1f})")
-    t = time_frame(scene, cam, br, ("light_hit",), ms)
+    t = time_frame(scene, cam, br, ("light_hit",), ms, lpc, mat_kinds)
     log(f"light_hit only      : {t:8.1f} ms  (all-technique cost "
         f"{full - t:+7.1f})")
 
