@@ -624,7 +624,16 @@ def sort_keys(org, d, active, lo, hi):
 
     The reference's RayQueue::compact + material sort play this role for
     its wavefront scheduling (ray_queue.h:145-221); here sorting buys
-    per-block candidate-list coherence instead."""
+    per-block candidate-list coherence instead.
+
+    IMBA_SORT_KEY=octant flips to direction-octant MAJOR, Morton minor:
+    a scattered bounce batch sorted position-major packs mixed-direction
+    rays into each block, and the kernel's front-to-back early-exit
+    bound goes dead (the candidate list is ordered by block-min entry t,
+    which is direction-dependent — with 8 octants in a block no single
+    ordering is front-to-back for anyone).  Octant-major blocks share a
+    traversal direction, so the sorted candidate walk terminates like a
+    primary-ray block's.  Same sort cost, exact under any permutation."""
     span = jnp.maximum(hi - lo, 1e-6)
     q = jnp.clip(((org - lo) / span) * 256.0, 0.0, 255.0).astype(jnp.int32)
     m = (
@@ -637,7 +646,10 @@ def sort_keys(org, d, active, lo, hi):
         + 2 * (d[:, 1] < 0).astype(jnp.int32)
         + 4 * (d[:, 2] < 0).astype(jnp.int32)
     )
-    key = (m << 3) | octant
+    if _os.environ.get("IMBA_SORT_KEY", "morton") == "octant":
+        key = (octant << 24) | m
+    else:
+        key = (m << 3) | octant
     return jnp.where(active, key, jnp.int32(2**30))
 
 

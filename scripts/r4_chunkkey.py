@@ -1,8 +1,12 @@
-"""A/B: IMBA_SORT_KEY=morton vs chunk for incoherent (sort=True) stream
+"""A/B: IMBA_SORT_KEY variants for incoherent (sort=True) stream
 dispatches, scattered 262k rays at 24k and 264k tris — the round-4
-divergence lever (sort rays by their nearest candidate super-chunk so
-block-mates share their first, usually decisive, front-to-back
-candidate).  Exactness is structural (any permutation); this measures
+divergence lever.  Round-4 late variant: "octant" = direction-octant
+MAJOR, Morton minor — a scattered batch sorted position-major packs
+mixed-direction rays per block, so the kernel's front-to-back
+early-exit bound (candidate list ordered by block-min entry t, a
+direction-dependent order) never fires; octant-major blocks share a
+traversal direction.  ("chunk" measured neutral, chain17.)
+Exactness is structural (any permutation); this measures
 throughput only, plus hit-count agreement as a cheap self-check.
 
 One process, slope-method timing (bench_stream.bench pattern)."""
@@ -66,13 +70,13 @@ if __name__ == "__main__":
         org, d = scattered_rays(n)
         org = org - center[None, :]
         checks = {}
-        for key in ("morton", "chunk"):
+        for key in ("morton", "octant"):
             os.environ["IMBA_SORT_KEY"] = key
             checks[key] = bench_sorted(sboxj, tilesj, org, d,
                                        f"{lbl} scattered key={key}")
         os.environ.pop("IMBA_SORT_KEY", None)
         nh_m, st_m = checks["morton"]
-        nh_c, st_c = checks["chunk"]
+        nh_c, st_c = checks["octant"]
         ok = nh_m == nh_c and abs(st_m - st_c) <= 1e-4 * max(abs(st_m), 1.0)
         print(f"{lbl} selfcheck hits {nh_m}=={nh_c} tsum "
               f"{st_m:.4f}~{st_c:.4f}: {'PASS' if ok else 'FAIL'}",
