@@ -303,12 +303,19 @@ def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
     skipped.
 
     IMBA_MASK_PREPASS=1 prepends a plain single-hit dispatch over all
-    lanes: its early-exit bound is the TIGHTEST possible (prunes on the
-    1st nearest, not the K-th — the khit kernel's dominant cost is this
-    first full-batch walk), and every lane whose nearest surface is
-    opaque resolves right there.  Only lanes whose first hit alpha-tests
-    transparent enter the khit loop, sorted into leading blocks so the
-    K-hit walk pays for the unresolved count, not the batch."""
+    lanes so only lanes whose first hit alpha-tests transparent enter
+    the khit loop.  Default OFF since chain21: it won under the OLD
+    six-gather alpha chain (chains 14/16, 4286 vs 4576 ms) but LOSES
+    ~700 ms/frame under the narrow mask record (canopy khit-only 2825
+    vs prepass 3522 — the cheap alpha test removed what the prepass
+    was saving, leaving its extra full-batch dispatch).  Two further
+    measured negatives recorded for whoever re-opens this (chain24,
+    results/bench_masked_prepass*.csv): hoisting the Morton sort out
+    of the while_loop regresses ~+720 ms under EITHER prepass setting
+    — the per-round re-sort is what re-compacts the shrinking active
+    set into fewer blocks, worth far more than the sort machinery it
+    costs — and K=8 compile-fails on scoped VMEM (18.02M > 16M) at
+    BLK=512."""
     from ..ops.pallas_khit import K, khit_sorted
     from ..ops.pallas_stream import closest_hit_sorted
 
@@ -322,7 +329,7 @@ def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
                                                            jnp.int32),
                u=jnp.zeros((num_r,)), v=jnp.zeros((num_r,)))
 
-    if _os.environ.get("IMBA_MASK_PREPASS", "1") == "1":
+    if _os.environ.get("IMBA_MASK_PREPASS", "0") == "1":
         h1 = closest_hit_sorted(bvh.sbox, bvh.tiles, org, d, tmin, tmax,
                                 active=act, inst=None)
         got = act & (h1.prim_id >= 0)
