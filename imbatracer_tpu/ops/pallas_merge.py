@@ -56,7 +56,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 import flax.struct
 
-BLKQ = 256          # queries per block
+import os
+
+# Queries per block.  The kernel floor is per-block-combo machinery
+# (fori setup + DMA latency, ~10 us each; r5_merge_split2 measured
+# 49 ms of which only ~5 ms is pair math at BLKQ=256 -> 1024 blocks),
+# so larger blocks amortise it; the walk grows with the block's key
+# range.  Mutable module global (tests/probes assign it); env knob for
+# production tuning.
+BLKQ = int(os.environ.get("IMBA_MERGE_BLKQ", "256"))
 PT = 512            # photons per HBM tile
 GRID = 256          # cells per axis (keys < 256^3 = 2^24, exact in f32)
 PAD_KEY = 1 << 25   # > any real key, exact in f32
@@ -370,28 +378,53 @@ def _make_kernel(kinds: tuple, ppm: bool):
             acc_ref[:, 2:3] = acc_ref[:, 2:3] + jnp.sum(
                 tpz * fz * wk, axis=1, keepdims=True)
 
-        # Four neighbour-cell combos, each a contiguous tile span.
-        for c in range(4):
-            qk = col(29 + c)
-            t0 = spans_ref[0, 0, c]
-            nt = spans_ref[0, 0, 4 + c]
+        # Four neighbour-cell combos, each a contiguous tile span, walked
+        # as ONE fori over the concatenated spans: one loop setup instead
+        # of four, and the double-buffered DMA pipelines ACROSS combo
+        # boundaries (the per-block-combo floor was ~10 us x 4096 at
+        # BLKQ=256 — r5_merge_split2).  Iteration order is identical to
+        # the old per-combo loops (combo 0 tiles, then 1, 2, 3, each in
+        # ascending tile order), so accumulation stays bitwise.
+        t0_0 = spans_ref[0, 0, 0]
+        t0_1 = spans_ref[0, 0, 1]
+        t0_2 = spans_ref[0, 0, 2]
+        t0_3 = spans_ref[0, 0, 3]
+        nt0 = spans_ref[0, 0, 4]
+        nt1 = spans_ref[0, 0, 5]
+        nt2 = spans_ref[0, 0, 6]
+        nt3 = spans_ref[0, 0, 7]
+        o1 = nt0
+        o2 = o1 + nt1
+        o3 = o2 + nt2
+        total = o3 + nt3
 
-            @pl.when(nt > 0)
-            def _(t0=t0):
-                tile_dma(t0, 0).start()
+        def tile_for(k):
+            return jnp.where(
+                k >= o3, t0_3 + (k - o3),
+                jnp.where(k >= o2, t0_2 + (k - o2),
+                          jnp.where(k >= o1, t0_1 + (k - o1), t0_0 + k)))
 
-            def body(k, _, t0=t0, nt=nt, qk=qk):
-                slot = jax.lax.rem(k, 2)
-                tile_dma(t0 + k, slot).wait()
+        qk0, qk1, qk2, qk3 = col(29), col(30), col(31), col(32)
 
-                @pl.when(k + 1 < nt)
-                def _():
-                    tile_dma(t0 + k + 1, 1 - slot).start()
+        @pl.when(total > 0)
+        def _():
+            tile_dma(tile_for(0), 0).start()
 
-                process(slot, qk)
-                return 0
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
+            tile_dma(tile_for(k), slot).wait()
 
-            jax.lax.fori_loop(0, nt, body, 0)
+            @pl.when(k + 1 < total)
+            def _():
+                tile_dma(tile_for(k + 1), 1 - slot).start()
+
+            qk = jnp.where(
+                k >= o3, qk3,
+                jnp.where(k >= o2, qk2, jnp.where(k >= o1, qk1, qk0)))
+            process(slot, qk)
+            return 0
+
+        jax.lax.fori_loop(0, total, body, 0)
 
         out_ref[:, :] = acc_ref[:, :]
 
@@ -464,10 +497,11 @@ def merge_contrib(grid: MergeGrid, qpos, normal, gn, w_out, params,
     combo_keys = [jnp.where(active, k, inval) for k in combo_keys]
 
     # Sort queries by anchor key so blocks cover contiguous photon runs.
+    # inv_perm via scatter, not a second sort (perm is a permutation).
     sort_key = jnp.where(active, k00, jnp.int32(1 << 30))
     iota = jnp.arange(num_r, dtype=jnp.int32)
     _, perm = jax.lax.sort((sort_key, iota), num_keys=1)
-    _, inv_perm = jax.lax.sort((perm, iota), num_keys=1)
+    inv_perm = jnp.zeros_like(iota).at[perm].set(iota, unique_indices=True)
 
     t, b = local_coordinates(normal)
     lo = jnp.stack(
@@ -502,10 +536,17 @@ def merge_contrib(grid: MergeGrid, qpos, normal, gn, w_out, params,
     valid_k = ck_blk >= 0
     lo_k = jnp.min(jnp.where(valid_k, ck_blk, jnp.int32(1 << 30)), axis=1)
     hi_k = jnp.max(jnp.where(valid_k, ck_blk, jnp.int32(-1)), axis=1) + 1
-    start = jnp.searchsorted(grid.keys, lo_k.reshape(-1),
-                             side="left").reshape(num_b, 4).astype(jnp.int32)
-    end = jnp.searchsorted(grid.keys, hi_k.reshape(-1),
-                           side="right").reshape(num_b, 4).astype(jnp.int32)
+    # ONE sort-method searchsorted for both bounds.  The default scan
+    # method lowers to ~18 dependent dynamic gathers per call — measured
+    # near-serial on this chip (the bulk of a 33 ms prep,
+    # r5_merge_split2); method="sort" is one fused sort.  Integer keys
+    # make side="right" on hi_k equal to side="left" on hi_k + 1.
+    bounds = jnp.concatenate(
+        [lo_k.reshape(-1), hi_k.reshape(-1) + 1])
+    se = jnp.searchsorted(grid.keys, bounds, side="left",
+                          method="sort").astype(jnp.int32)
+    start = se[: num_b * 4].reshape(num_b, 4)
+    end = se[num_b * 4 :].reshape(num_b, 4)
     t0 = start // PT
     nt = jnp.where(end > start, (end - 1) // PT - t0 + 1, 0)
     spans = jnp.concatenate(

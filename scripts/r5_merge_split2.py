@@ -99,7 +99,7 @@ def prep(grid, qpos, normal, gn, w_out, params, d_vcm, d_vm, active):
     sort_key = jnp.where(active, k00, jnp.int32(1 << 30))
     iota = jnp.arange(num_r, dtype=jnp.int32)
     _, perm = jax.lax.sort((sort_key, iota), num_keys=1)
-    _, inv_perm = jax.lax.sort((perm, iota), num_keys=1)
+    inv_perm = jnp.zeros_like(iota).at[perm].set(iota, unique_indices=True)
     t, b = local_coordinates(normal)
     lo = jnp.stack(
         [jnp.sum(w_out * t, axis=-1), jnp.sum(w_out * b, axis=-1),
@@ -124,10 +124,11 @@ def prep(grid, qpos, normal, gn, w_out, params, d_vcm, d_vm, active):
     valid_k = ck_blk >= 0
     lo_k = jnp.min(jnp.where(valid_k, ck_blk, jnp.int32(1 << 30)), axis=1)
     hi_k = jnp.max(jnp.where(valid_k, ck_blk, jnp.int32(-1)), axis=1) + 1
-    start = jnp.searchsorted(grid.keys, lo_k.reshape(-1),
-                             side="left").reshape(num_b, 4).astype(jnp.int32)
-    end = jnp.searchsorted(grid.keys, hi_k.reshape(-1),
-                           side="right").reshape(num_b, 4).astype(jnp.int32)
+    bounds = jnp.concatenate([lo_k.reshape(-1), hi_k.reshape(-1) + 1])
+    se = jnp.searchsorted(grid.keys, bounds, side="left",
+                          method="sort").astype(jnp.int32)
+    start = se[: num_b * 4].reshape(num_b, 4)
+    end = se[num_b * 4 :].reshape(num_b, 4)
     t0 = start // PT
     nt = jnp.where(end > start, (end - 1) // PT - t0 + 1, 0)
     spans = jnp.concatenate(
@@ -243,6 +244,24 @@ def main():
     proc_elems = nt.sum() * pallas_merge.BLKQ * pallas_merge.PT
     log(f"pair slots walked   : {proc_elems/1e6:.1f} M "
         f"({proc_elems * 60 / 1e9:.1f} GFLOP at ~60 flop/pair)")
+
+    # --- BLKQ sweep (full pipeline only; new kernel compile per value) --
+    base_blkq = pallas_merge.BLKQ
+    for blkq in (512, 1024):
+        if CPU:
+            break
+        pallas_merge.BLKQ = blkq
+
+        @jax.jit
+        def full_b(g):
+            out = pallas_merge.merge_contrib(
+                g, qpos, nrm, nrm, wo, params, ones, ones, active,
+                mis_eta_vc, kinds=mat_kinds, ppm=False)
+            return jnp.sum(out * out)
+
+        t_b, _ = timed(full_b, grid)
+        log(f"full @ BLKQ={blkq:5d}  : {t_b:8.2f} ms")
+    pallas_merge.BLKQ = base_blkq
     log("")
 
 
