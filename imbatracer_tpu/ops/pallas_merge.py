@@ -58,14 +58,18 @@ import flax.struct
 
 import os
 
-# Queries per block.  The kernel floor is per-block-combo machinery
-# (fori setup + DMA latency, ~10 us each; r5_merge_split2 measured
-# 49 ms of which only ~5 ms is pair math at BLKQ=256 -> 1024 blocks),
-# so larger blocks amortise it; the walk grows with the block's key
-# range.  Mutable module global (tests/probes assign it); env knob for
-# production tuning.
-BLKQ = int(os.environ.get("IMBA_MERGE_BLKQ", "256"))
-PT = 512            # photons per HBM tile
+# Queries per block and photons per HBM tile.  The kernel is pair-walk
+# compute bound: pair slots = sum over block-combos of (photon key-range
+# span rounded to PT) x BLKQ, so BOTH smaller blocks (narrower key
+# ranges) and smaller tiles (less rounding) cut the walk, traded against
+# per-block/per-tile fixed costs (fori setup + DMA latency).  Swept on
+# TPU at 262k queries / 262k photons (r5_merge_blkq.txt, chain35):
+# (256,512) 73.6 -> (128,512) 63.9 -> (128,256) 62.8 ms/dispatch with
+# (64,256) tied at 62.3; BLKQ=512 scoped-VMEM OOMs.  Defaults are the
+# (128,256) knee.  Mutable module globals (tests/probes assign them);
+# env knobs for production tuning.
+BLKQ = int(os.environ.get("IMBA_MERGE_BLKQ", "128"))
+PT = int(os.environ.get("IMBA_MERGE_PT", "256"))  # photons per HBM tile
 GRID = 256          # cells per axis (keys < 256^3 = 2^24, exact in f32)
 PAD_KEY = 1 << 25   # > any real key, exact in f32
 BIG = 1e30
