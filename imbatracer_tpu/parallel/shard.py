@@ -638,8 +638,10 @@ def render_vcm_frame_sharded(
     num_pixels = width * height
     if light_path_count <= 0:
         light_path_count = num_pixels // 2
+    from ..render.integrators.vcm import auto_cache_capacity
+
     if cache_capacity <= 0:
-        cache_capacity = 2 * light_path_count
+        cache_capacity = auto_cache_capacity(light_path_count, max_len)
     if table_size <= 0:
         table_size = 2 * cache_capacity
 
@@ -669,7 +671,10 @@ def render_vcm_frame_sharded(
             # Remainders stay divisible by n_dev (count and stride both
             # are), so the tail band is exact.
             bp = min(band, (light_path_count - start) // n_dev)
-            local_cap = max(2 * bp, 1024)
+            # Per-shard band cache: same no-truncation sizing as the
+            # global default (a 2x band cap dropped deep-bounce vertices
+            # BEFORE the global merge ever saw them).
+            local_cap = max(auto_cache_capacity(bp, max_len), 1024)
             light_film, shard_cache = _vcm_light_band_sharded(
                 scene, cam, frame, base_radius, jnp.int32(start),
                 mesh=mesh, algo=algo, num_pixels=num_pixels,

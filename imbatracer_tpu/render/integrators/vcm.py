@@ -66,8 +66,8 @@ from ..film import splat
 from .. import hashgrid as hashgrid_mod
 from ..hashgrid import build_hash_grid
 from ..intersect import BIG
-from ..light_cache import (LightVertexCache, append, canonicalize,
-                           empty_cache)
+from ..light_cache import (LightVertexCache, append, append_packed,
+                           canonicalize, empty_cache, pack_batch)
 from ..surface import make_interaction
 from ..traverse import any_hit, closest_hit
 from .pt import alpha_fn_for, camera_rays
@@ -169,7 +169,15 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         return a + fz.astype(a.dtype)
     cache0 = empty_cache(cache_capacity) if cache_in is None else cache_in
     use_cc = algo != "ppm" and "cam_connect" in techniques
-    carry = jax.tree.map(_vary, dict(
+    use_cache = algo != "lt"
+    # Per-bounce vertex records, logged and appended ONCE after the loop
+    # (same pattern as the cc rows below: the 12-field scatter-append
+    # inside the fori body de-vectorises, measured +135 ms/frame on the
+    # cornell_specular quality row — results/r5_qrow_split.txt "append
+    # cost").  IMBA_APPEND_FLUSH=0 restores the in-loop append.
+    flush_append = use_cache and os.environ.get(
+        "IMBA_APPEND_FLUSH", "1") != "0"
+    carry = dict(
         org=es.pos,
         d=es.dir,
         tmin=jnp.full((L,), 1e-3, jnp.float32),
@@ -178,8 +186,13 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         finite=es.is_finite,
         d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm,
         state=state,
-        cache=cache0,
-    ))
+    )
+    if use_cache and flush_append:
+        carry["vrec"] = jnp.zeros((max_len, L, 24), jnp.float32)
+        carry["vstore"] = jnp.zeros((max_len, L), jnp.bool_)
+    elif use_cache:
+        carry["cache"] = cache0
+    carry = jax.tree.map(_vary, carry)
     if use_cc:
         # Per-bounce camera-connection rows, logged and splatted ONCE
         # after the loop (a scatter-add per fori iteration de-vectorises,
@@ -212,18 +225,27 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         d_vm = c["d_vm"] * inv_cos
 
         non_spec = ~mat_mod.is_specular(isect.params)
-        cache = c["cache"]
+        out = dict(finite=c["finite"])
 
         # Store vertices for connection/merging (vcm.cpp:237-246).
-        if algo != "lt":
+        if use_cache:
             store = active & non_spec
-            cache = append(
-                cache, store, isect.pos, isect.w_out, isect.normal, isect.gn,
-                isect.uv, isect.mat_id, c["throughput"], d_vc, d_vcm, d_vm,
-                jnp.full((L,), i + 2, jnp.int32), path_id,
-            )
-
-        out = dict(finite=c["finite"], cache=cache)
+            if flush_append:
+                rec = pack_batch(
+                    isect.pos, isect.w_out, isect.normal, isect.gn,
+                    isect.uv, isect.mat_id, c["throughput"], d_vc, d_vcm,
+                    d_vm, jnp.full((L,), i + 2, jnp.int32), path_id,
+                )
+                out["vrec"] = jax.lax.dynamic_update_slice(
+                    c["vrec"], rec[None], (i, 0, 0))
+                out["vstore"] = jax.lax.dynamic_update_slice(
+                    c["vstore"], store[None], (i, 0))
+            else:
+                out["cache"] = append(
+                    c["cache"], store, isect.pos, isect.w_out, isect.normal,
+                    isect.gn, isect.uv, isect.mat_id, c["throughput"], d_vc,
+                    d_vcm, d_vm, jnp.full((L,), i + 2, jnp.int32), path_id,
+                )
 
         # Connect every non-specular vertex to the camera (vcm.cpp:260-320).
         # NB: normalise by the GLOBAL light_path_count, not the band size
@@ -260,7 +282,17 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
     else:
         # + fz: keep the output device-varying under shard_map.
         film = jnp.zeros((num_pixels, 3), jnp.float32) + fz
-    return film, out["cache"]
+    if use_cache and flush_append:
+        # One vectorised append of all logged bounces.  (max_len, L)
+        # row-major = bounce-major path-minor — the exact order the
+        # in-loop appends produced, so slot assignment is bit-identical.
+        cache = append_packed(cache0, out["vstore"].reshape(-1),
+                              out["vrec"].reshape(-1, 24))
+    elif use_cache:
+        cache = out["cache"]
+    else:
+        cache = cache0
+    return film, cache
 
 
 def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
@@ -902,6 +934,24 @@ def band_rays(has_masks: bool) -> int:
     return int(os.environ.get("IMBA_MASKED_BAND", str(1 << 16)))
 
 
+def auto_cache_capacity(light_path_count: int, max_len: int) -> int:
+    """Default vertex-cache capacity.
+
+    The reference sizes its cache with probe paths so no vertex is ever
+    dropped (light_vertices.cpp:15-129).  The old 2x-lpc default
+    silently truncated 25-47% of light vertices on the cornell quality
+    rows — and because append fills in bounce order, it dropped the
+    DEEPEST bounces entirely (measured at lpc 131072 / max_len 10:
+    cornell_org stores 3.74 vertices/path, specular 2.68, water 2.75 —
+    results/r5_qrow_split.txt), a depth-dependent energy loss in both
+    the connect and merge techniques.  Default to 5x lpc (covers every
+    measured scene with slack), clamped to the worst case of
+    max_len - 1 storable vertices per path.  IMBA_CACHE_CAP_MULT
+    overrides (2 = the old truncating behaviour)."""
+    mult = float(os.environ.get("IMBA_CACHE_CAP_MULT", "5"))
+    return max(int(min(mult, max(max_len - 1, 1)) * light_path_count), 1)
+
+
 def _use_vcm_compact(num_bands: int, max_len: int) -> bool:
     """Camera-pass compaction defaults ON for the VCM family on TPU —
     unlike PT (pt._use_compact), where it measured slower.  VCM bounces
@@ -1089,7 +1139,7 @@ def render_vcm_frame(
     if light_path_count <= 0:
         light_path_count = num_pixels // 2
     if cache_capacity <= 0:
-        cache_capacity = 2 * light_path_count
+        cache_capacity = auto_cache_capacity(light_path_count, max_len)
     if table_size <= 0:
         table_size = 2 * cache_capacity
 

@@ -82,15 +82,43 @@ def empty_cache(capacity: int) -> LightVertexCache:
     )
 
 
-def append(cache: LightVertexCache, valid, pos, w_out, normal, gn, uv, mat_id,
-           throughput, d_vc, d_vcm, d_vm, path_length,
-           path_id) -> LightVertexCache:
-    """Scatter-append the `valid` rows of a batch into the cache.
+def pack_batch(pos, w_out, normal, gn, uv, mat_id, throughput, d_vc, d_vcm,
+               d_vm, path_length, path_id) -> jnp.ndarray:
+    """Pack a vertex batch into the (N, 24) wide-record layout of
+    LightVertexCache.packed() (ints bitcast into float lanes)."""
+    import jax.lax
+
+    bits = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    n = pos.shape[0]
+    return jnp.concatenate(
+        [
+            pos, w_out, normal, gn, uv,
+            bits(mat_id)[:, None],
+            throughput,
+            d_vc[:, None], d_vcm[:, None], d_vm[:, None],
+            bits(path_length)[:, None],
+            bits(path_id)[:, None],
+            jnp.zeros((n, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def append_packed(cache: LightVertexCache, valid,
+                  rec: jnp.ndarray) -> LightVertexCache:
+    """Scatter-append the `valid` rows of a packed (N, 24) record batch.
 
     Slots are assigned by an exclusive prefix sum over the valid mask
     (deterministic — unlike the reference's atomic order); overflow rows
     are dropped via the out-of-range scatter index.
+
+    The light pass LOGS one record slab per bounce inside its fori_loop
+    (dynamic_update_slice, aliased in place) and calls this ONCE after
+    the loop: a scatter inside a fori body de-vectorises (~13 ms/step
+    measured, CLAUDE.md), one big scatter runs at memory speed.
     """
+    import jax.lax
+
     cap = cache.capacity
     slot_in_batch = jnp.cumsum(valid.astype(jnp.int32)) - 1
     slot = cache.count + slot_in_batch
@@ -99,23 +127,36 @@ def append(cache: LightVertexCache, valid, pos, w_out, normal, gn, uv, mat_id,
     def put(dst, src):
         return dst.at[target].set(src, mode="drop")
 
+    ibits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
     new_count = jnp.minimum(
         cache.count + jnp.sum(valid.astype(jnp.int32)), cap
     )
     return LightVertexCache(
-        pos=put(cache.pos, pos),
-        w_out=put(cache.w_out, w_out),
-        normal=put(cache.normal, normal),
-        gn=put(cache.gn, gn),
-        uv=put(cache.uv, uv),
-        mat_id=put(cache.mat_id, mat_id),
-        throughput=put(cache.throughput, throughput),
-        d_vc=put(cache.d_vc, d_vc),
-        d_vcm=put(cache.d_vcm, d_vcm),
-        d_vm=put(cache.d_vm, d_vm),
-        path_length=put(cache.path_length, path_length),
-        path_id=put(cache.path_id, path_id),
+        pos=put(cache.pos, rec[:, 0:3]),
+        w_out=put(cache.w_out, rec[:, 3:6]),
+        normal=put(cache.normal, rec[:, 6:9]),
+        gn=put(cache.gn, rec[:, 9:12]),
+        uv=put(cache.uv, rec[:, 12:14]),
+        mat_id=put(cache.mat_id, ibits(14)),
+        throughput=put(cache.throughput, rec[:, 15:18]),
+        d_vc=put(cache.d_vc, rec[:, 18]),
+        d_vcm=put(cache.d_vcm, rec[:, 19]),
+        d_vm=put(cache.d_vm, rec[:, 20]),
+        path_length=put(cache.path_length, ibits(21)),
+        path_id=put(cache.path_id, ibits(22)),
         count=new_count,
+    )
+
+
+def append(cache: LightVertexCache, valid, pos, w_out, normal, gn, uv, mat_id,
+           throughput, d_vc, d_vcm, d_vm, path_length,
+           path_id) -> LightVertexCache:
+    """Scatter-append the `valid` rows of a batch into the cache
+    (pack_batch + append_packed; see append_packed for semantics)."""
+    return append_packed(
+        cache, valid,
+        pack_batch(pos, w_out, normal, gn, uv, mat_id, throughput, d_vc,
+                   d_vcm, d_vm, path_length, path_id),
     )
 
 

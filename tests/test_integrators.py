@@ -80,3 +80,38 @@ def test_vcm_pt_matches_pt(cornell):
     b = _render(scene, meta, "vcm_pt", frames=frames)
     rel = abs(a.mean() - b.mean()) / max(a.mean(), 1e-9)
     assert rel < 0.1, f"vcm_pt mean {b.mean():.4f} vs pt {a.mean():.4f}"
+
+
+def test_cache_capacity_holds_all_vertices(cornell):
+    """The auto cache capacity must not truncate light vertices: the
+    reference keeps every vertex by probe-sizing its cache
+    (light_vertices.cpp:15-129); the old 2x-lpc default silently dropped
+    the deepest 25-47% of bounces on the cornell scenes
+    (results/r5_qrow_split.txt)."""
+    import jax.numpy as jnp
+
+    from imbatracer_tpu.frontend.engine import estimate_pixel_size
+    from imbatracer_tpu.frontend.renderer import camera_for_scene
+    from imbatracer_tpu.render.integrators import vcm as vcm_mod
+    from imbatracer_tpu.render.light_cache import empty_cache
+
+    scene, meta = cornell
+    lpc, max_len = 512, 8
+    settings = RenderSettings(width=SIZE, height=SIZE, algorithm="vcm",
+                              light_path_count=lpc, max_path_len=max_len)
+    cam = camera_for_scene(meta, settings)
+    base_radius = jnp.float32(
+        estimate_pixel_size(scene, cam, meta) * 2.0)
+    cap = vcm_mod.auto_cache_capacity(lpc, max_len)
+    assert cap > 2 * lpc  # the old default
+    cache = empty_cache(cap)
+    _, cache = vcm_mod._vcm_light_band(
+        scene, cam, jnp.uint32(0), base_radius, jnp.int32(0), cache,
+        algo="vcm", num_pixels=SIZE * SIZE, light_path_count=lpc,
+        max_len=max_len, cache_capacity=cap, has_masks=False,
+        has_bump=False, max_steps=0, techniques=vcm_mod.TECHNIQUES,
+        band_paths=lpc)
+    count = int(cache.count)
+    assert 0 < count < cap, (
+        f"cache filled to capacity ({count}/{cap}): vertices were "
+        f"truncated — raise auto_cache_capacity")
