@@ -64,6 +64,11 @@ def choose_mode(t: ThreadedBvh, backend: Optional[str] = None) -> str:
     CPU (tests): the XLA skip-link loop — Mosaic kernels would need
     interpret mode and the unrolled dense form is expensive to compile.
     """
+    forced = _os.environ.get("IMBA_BVH_MODE", "")
+    if forced:
+        # Test/profiling override (CPU vmem tests set this together with
+        # pallas_vmem.INTERPRET = True).
+        return forced
     if backend is None:
         backend = jax.default_backend()
     if backend != "tpu":

@@ -41,6 +41,9 @@ from .pallas_stream import (
 
 VMEM_MAX_SUPER = 8     # tiles kept resident: 8 x 96 KB
 
+# Flip to run the kernel in interpreter mode (CPU tests).
+INTERPRET = False
+
 
 def _make_vmem_kernel(occl: bool, num_s: int):
     def kernel(rays_ref, sbox_ref, tiles_ref, out_ref, acc_ref, gflag_ref,
@@ -154,7 +157,62 @@ def _vmem_call(raysT, sbox, tiles, occl=False):
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((1 if occl else 4, BLK, GROUP), jnp.float32),
         ],
+        interpret=INTERPRET,
     )(raysT, sbox, tiles)
+
+
+def _sorted_vmem_call(sbox, tiles, org, d, tmin, tmax, active, occl):
+    """Octant-major sorted vmem dispatch (round-5).
+
+    The kernel's per-block cost scales with the UNION of MT groups its
+    BLK lanes touch, so a scattered bounce batch pays ~3.4x a coherent
+    one (22.2 vs 6.6 ms @256k, results/r5_qrow_split.txt).  Sorting by
+    pallas_stream.sort_keys (direction-octant major, origin-Morton
+    minor) restores block coherence, and dead lanes (max key) compact
+    into trailing no-work blocks.
+
+    Overhead is kept to TWO row gathers: the (R, 8) ray record is built
+    first and permuted as one gather (not 6 per-array gathers — each
+    dynamic gather costs a flat ~3.3 ms/M lanes), and the (R, 8) kernel
+    output is un-permuted as one gather.  Exact under any permutation.
+    """
+    from .pallas_stream import _scene_bounds, sort_keys
+
+    num_r = org.shape[0]
+    act = jnp.ones((num_r,), jnp.bool_) if active is None else active
+    lo, hi = _scene_bounds(sbox)
+    key = sort_keys(org, d, act, lo, hi)
+    iota = jnp.arange(num_r, dtype=jnp.int32)
+    _, perm = jax.lax.sort((key, iota), num_keys=1)
+    rays8t, _ = _rays8t(org, d, tmin, tmax, act)
+    raysT = rays8t.T                                    # (Rp, 8)
+    rp = raysT.shape[0]
+    permp = (jnp.concatenate([perm, jnp.arange(num_r, rp, dtype=jnp.int32)])
+             if rp > num_r else perm)
+    out = _vmem_call(raysT[permp], sbox, tiles, occl=occl)
+    _, inv = jax.lax.sort((perm, iota), num_keys=1)
+    return out[inv]                                     # (num_r, 8)
+
+
+def closest_hit_vmem_sorted(sbox, tiles, org, d, tmin, tmax, active=None,
+                            inst=None):
+    from ..render.traverse import Hit
+
+    assert inst is None, "vmem mode is for non-instanced small scenes"
+    out = _sorted_vmem_call(sbox, tiles, org, d, tmin, tmax, active,
+                            occl=False)
+    t = out[:, 0]
+    prim_id = out[:, 3].astype(jnp.int32)
+    t = jnp.where(prim_id >= 0, t, BIG)
+    return Hit(t=t, prim_id=prim_id, u=out[:, 1], v=out[:, 2])
+
+
+def any_hit_vmem_sorted(sbox, tiles, org, d, tmin, tmax, active=None,
+                        inst=None):
+    assert inst is None, "vmem mode is for non-instanced small scenes"
+    out = _sorted_vmem_call(sbox, tiles, org, d, tmin, tmax, active,
+                            occl=True)
+    return out[:, 0] > 0.0
 
 
 def closest_hit_vmem(sbox, tiles, org, d, tmin, tmax, active=None,

@@ -210,6 +210,14 @@ USE_PAIRS = _os.environ.get("IMBA_USE_PAIRS", "0") == "1"
 PAIRS_MIN_SUPERCHUNKS = 8
 
 
+def _vmem_sort() -> bool:
+    """Sort incoherent vmem-mode dispatches (read at trace time).
+    Measured on cornell_specular 1024² (results/r5_qrow_split.txt):
+    scattered closest 22.2 ms vs coherent 6.6 at 256k lanes; the sort +
+    two permutation gathers cost ~2-3 ms.  IMBA_VMEM_SORT=0 disables."""
+    return _os.environ.get("IMBA_VMEM_SORT", "1") != "0"
+
+
 def _inst(bvh):
     """Two-level instancing metadata for the streaming kernel (or None)."""
     if bvh.mode == "stream2":
@@ -582,6 +590,17 @@ def closest_hit(
         from ..ops.pallas_vmem import closest_hit_vmem
 
         if alpha_fn is None:
+            if sort and _vmem_sort():
+                # Octant-major pre-sort (pallas_vmem._sorted_vmem_call:
+                # the kernel's per-block cost scales with the union of
+                # MT groups its lanes touch; scattered batches pay 3.4x
+                # coherent ones without it).  IMBA_VMEM_SORT=0 restores
+                # the direct dispatch.
+                from ..ops.pallas_vmem import closest_hit_vmem_sorted
+
+                return closest_hit_vmem_sorted(bvh.sbox, bvh.tiles,
+                                               _recenter(bvh, org), d,
+                                               tmin, tmax, active=active)
             return closest_hit_vmem(bvh.sbox, bvh.tiles,
                                     _recenter(bvh, org), d, tmin, tmax,
                                     active=active)
@@ -679,6 +698,12 @@ def any_hit(
         from ..ops.pallas_vmem import any_hit_vmem, closest_hit_vmem
 
         if alpha_fn is None:
+            if sort and _vmem_sort():
+                from ..ops.pallas_vmem import any_hit_vmem_sorted
+
+                return any_hit_vmem_sorted(bvh.sbox, bvh.tiles,
+                                           _recenter(bvh, org), d, tmin,
+                                           tmax, active=active)
             return any_hit_vmem(bvh.sbox, bvh.tiles, _recenter(bvh, org),
                                 d, tmin, tmax, active=active)
         hit = _closest_hit_masked(bvh, org, d, tmin, tmax, alpha_fn,
