@@ -78,6 +78,14 @@ INV_PI = 1.0 / jnp.pi
 # Flip to run the kernel in interpreter mode (CPU tests).
 INTERPRET = False
 
+
+def _use_union() -> bool:
+    """Walk the UNION of the 4 combo tile spans (each tile once,
+    pair-test matches any combo key) instead of the concatenated
+    per-combo spans.  Read at trace time; IMBA_MERGE_UNION=0 restores
+    the per-combo walk."""
+    return os.environ.get("IMBA_MERGE_UNION", "1") != "0"
+
 # Query record columns (f32, width 40):
 #   0:3   pos
 #   3:6   tangent      (Duff ONB of the shading normal, core/sampling.py)
@@ -194,7 +202,7 @@ def build_merge_grid(pos, valid, radius, w_in, throughput, d_vcm,
 # Kernel
 # --------------------------------------------------------------------------
 
-def _make_kernel(kinds: tuple, ppm: bool):
+def _make_kernel(kinds: tuple, ppm: bool, union: bool):
     has_glossy = MAT_GLOSSY in kinds
     has_phong = MAT_PHONG in kinds
     has_oren = MAT_OREN_NAYAR in kinds
@@ -242,8 +250,24 @@ def _make_kernel(kinds: tuple, ppm: bool):
             dyy = py - qy
             dzz = pz - qz
             d2 = dxx * dxx + dyy * dyy + dzz * dzz
-            ok = ((pkey == qk) | (pkey == qk + 1.0)) & (d2 <= r2)
-            ok = ok & qact & (qk >= 0.0)
+            if union:
+                # Union walk: each tile is visited ONCE; a photon pairs
+                # with a query when its cell key matches ANY of the 4
+                # combo key pairs.  Invalid combos carry key -2, which
+                # no photon key (>= 0 or PAD_KEY) can equal, so they
+                # never match.  8 extra f32 compares per pair slot buy
+                # ~49% fewer tile-steps (the combo spans overlap —
+                # results/r5_qrow_split.txt "dedup-steps").
+                qk0u, qk1u, qk2u, qk3u = (col(29), col(30), col(31),
+                                          col(32))
+                match = ((pkey == qk0u) | (pkey == qk0u + 1.0)
+                         | (pkey == qk1u) | (pkey == qk1u + 1.0)
+                         | (pkey == qk2u) | (pkey == qk2u + 1.0)
+                         | (pkey == qk3u) | (pkey == qk3u + 1.0))
+                ok = match & (d2 <= r2) & qact
+            else:
+                ok = ((pkey == qk) | (pkey == qk + 1.0)) & (d2 <= r2)
+                ok = ok & qact & (qk >= 0.0)
 
             # Photon incoming direction in the query's local frame.
             li_x = wix * tx + wiy * ty + wiz * tz
@@ -422,9 +446,12 @@ def _make_kernel(kinds: tuple, ppm: bool):
             def _():
                 tile_dma(tile_for(k + 1), 1 - slot).start()
 
-            qk = jnp.where(
-                k >= o3, qk3,
-                jnp.where(k >= o2, qk2, jnp.where(k >= o1, qk1, qk0)))
+            if union:
+                qk = qk0  # unused: process matches all 4 combo keys
+            else:
+                qk = jnp.where(
+                    k >= o3, qk3,
+                    jnp.where(k >= o2, qk2, jnp.where(k >= o1, qk1, qk0)))
             process(slot, qk)
             return 0
 
@@ -435,11 +462,12 @@ def _make_kernel(kinds: tuple, ppm: bool):
     return kernel
 
 
-def _merge_call(qrec, spans, scal, tiles, kinds: tuple, ppm: bool):
+def _merge_call(qrec, spans, scal, tiles, kinds: tuple, ppm: bool,
+                union: bool):
     num_q = qrec.shape[0]
     num_b = num_q // BLKQ
     return pl.pallas_call(
-        _make_kernel(kinds, ppm),
+        _make_kernel(kinds, ppm, union),
         out_shape=jax.ShapeDtypeStruct((num_q, 8), jnp.float32),
         grid=(num_b,),
         in_specs=[
@@ -553,6 +581,33 @@ def merge_contrib(grid: MergeGrid, qpos, normal, gn, w_out, params,
     end = se[num_b * 4 :].reshape(num_b, 4)
     t0 = start // PT
     nt = jnp.where(end > start, (end - 1) // PT - t0 + 1, 0)
+    if _use_union():
+        # Merge the 4 combo tile intervals into disjoint union intervals
+        # (the spans overlap ~49% at production scale — "dedup-steps",
+        # results/r5_qrow_split.txt); the union kernel visits each tile
+        # once and pair-tests all 4 combo keys.  Static 4-way interval
+        # merge: sort by start, sweep, emit on gaps.
+        sent = jnp.int32(1 << 28)                    # > any tile index
+        s_ = jnp.where(nt > 0, t0, sent)
+        e_ = jnp.where(nt > 0, t0 + nt, sent)
+        order = jnp.argsort(s_, axis=1)
+        ss = jnp.take_along_axis(s_, order, axis=1)
+        ee = jnp.take_along_axis(e_, order, axis=1)
+        out_s, out_e = [], []
+        cur_s, cur_e = ss[:, 0], ee[:, 0]
+        for c in range(1, 4):
+            nxt_s, nxt_e = ss[:, c], ee[:, c]
+            join = nxt_s <= cur_e                    # overlap or adjoin
+            out_s.append(jnp.where(join, sent, cur_s))
+            out_e.append(jnp.where(join, sent, cur_e))
+            cur_s = jnp.where(join, cur_s, nxt_s)
+            cur_e = jnp.where(join, jnp.maximum(cur_e, nxt_e), nxt_e)
+        out_s.append(cur_s)
+        out_e.append(cur_e)
+        t0 = jnp.stack(out_s, axis=1)
+        nt = jnp.stack(out_e, axis=1) - t0
+        nt = jnp.where((t0 >= sent) | (nt <= 0), 0, nt)
+        t0 = jnp.where(nt > 0, t0, 0)
     spans = jnp.concatenate(
         [t0, nt], axis=1).astype(jnp.int32).reshape(num_b, 1, 8)
 
@@ -560,5 +615,6 @@ def merge_contrib(grid: MergeGrid, qpos, normal, gn, w_out, params,
         [grid.radius_sqr, jnp.asarray(mis_eta_vc, jnp.float32)]
     ).reshape(1, 1, 2)
 
-    out = _merge_call(qrec_s, spans, scal, grid.tiles, kinds, ppm)
+    out = _merge_call(qrec_s, spans, scal, grid.tiles, kinds, ppm,
+                      _use_union())
     return out[inv_perm, 0:3]
