@@ -89,6 +89,12 @@ DEFAULT_RUNS = [
     ("cornell_water_vcm_r8", f"{SCENES}/cornell/cornell_water.scene",
      f"{REFS}/ref_cornell_water.png", "vcm", 1024, 1024,
      {"radius_factor": 8.0}),
+    # The measured knee of the 30 s curve (r5_radius_sweep2: 29.35 dB at
+    # 12, 29.47 at 16 — both beat r8's 28.93 at flat cost); the best
+    # short-budget candidate once the frame-speed levers land.
+    ("cornell_vcm_r16", f"{SCENES}/cornell/cornell_specular.scene",
+     f"{REFS}/ref_cornell_specular.png", "vcm", 1024, 1024,
+     {"radius_factor": 16.0}),
 ]
 
 # BASELINE.json config-1..5 proxies (the Still Life OBJ is absent from
