@@ -575,13 +575,37 @@ def _camera_body_fn(scene, cache, grid, pm_radius, base_radius, mis_eta_vc,
                     (okc & ~occ)[..., None], contrib, 0.0)
 
         # --- vertex merging (vcm.cpp:433-436, 571-611) ------------------
+        qlog = None
         if algo in ("vcm", "ppm") and "merge" in techniques:
-            radiance = _vertex_merging(
-                scene, cache, cache_rec, grid, isect, c["throughput"], d_vcm, d_vm,
-                active & non_spec, radiance, mis_eta_vc, pm_radius,
-                light_path_count, num_knn, table_size, max_per_cell, algo,
-                mat_kinds=mat_kinds,
-            )
+            if "qlog" in c:
+                # Deferred merging (MergeGrid route): log the query
+                # record component-major; ONE batched kernel dispatch
+                # per band/phase flushes it after the loop
+                # (_flush_merge_qlog).  Globally sorted queries from all
+                # bounces share blocks, so per-block key ranges narrow
+                # (the pair walk is compute-bound on block key range —
+                # chain33) and ~max_len-1 of max_len dispatch preps
+                # disappear.  Merging never feeds back into the path
+                # carry, so deferral is estimator-exact.
+                p = isect.params
+                store = active & non_spec
+                rec_t = jnp.concatenate([
+                    isect.pos.T, isect.normal.T, isect.gn.T,
+                    isect.w_out.T,
+                    p["kind"].astype(jnp.float32)[None],
+                    p["kd"].T, p["ks"].T, p["ns"][None],
+                    d_vcm[None], d_vm[None], c["throughput"].T,
+                    store.astype(jnp.float32)[None],
+                ], axis=0)
+                qlog = jax.lax.dynamic_update_slice(
+                    c["qlog"], rec_t[:, None, :], (0, i, 0))
+            else:
+                radiance = _vertex_merging(
+                    scene, cache, cache_rec, grid, isect, c["throughput"],
+                    d_vcm, d_vm, active & non_spec, radiance, mis_eta_vc,
+                    pm_radius, light_path_count, num_knn, table_size,
+                    max_per_cell, algo, mat_kinds=mat_kinds,
+                )
 
         # --- bounce ------------------------------------------------------
         (org, dd, tmin, throughput, active, d_vc, d_vcm, d_vm, st) = _bounce(
@@ -589,11 +613,73 @@ def _camera_body_fn(scene, cache, grid, pm_radius, base_radius, mis_eta_vc,
             hit, mis_eta_vc, mis_eta_vm, adjoint=False, algo=algo,
             last_bounce=(i + 1 >= max_len),
         )
-        return dict(org=org, d=dd, tmin=tmin, throughput=throughput,
-                    radiance=radiance, active=active, d_vc=d_vc, d_vcm=d_vcm,
-                    d_vm=d_vm, state=st)
+        ret = dict(org=org, d=dd, tmin=tmin, throughput=throughput,
+                   radiance=radiance, active=active, d_vc=d_vc, d_vcm=d_vcm,
+                   d_vm=d_vm, state=st)
+        if qlog is not None:
+            ret["qlog"] = qlog
+        return ret
 
     return body
+
+
+#  Deferred vertex merging ---------------------------------------------
+#
+#  The merge technique is read-only with respect to the path carry (its
+#  contribution lands in the film, never in throughput/pdfs), so the
+#  per-bounce kernel dispatches can be deferred: each bounce logs a
+#  26-column query record, and ONE batched merge_contrib call per
+#  band/phase processes max_len bounces together.  Wins (measured per
+#  dispatch, chains 29-36): ~10 ms of prep per dispatch amortised
+#  max_len-fold, and the global query sort packs same-cell queries from
+#  different bounces into the same BLKQ block, narrowing the per-block
+#  photon key range that the pair walk is compute-bound on (chain33).
+#  IMBA_MERGE_DEFER=0 restores the per-bounce dispatches (trace-time
+#  read, same A/B convention as _connect_slice_rows).
+
+_QLOG_COLS = 26  # pos 3 | normal 3 | gn 3 | w_out 3 | kind 1 | kd 3 |
+                 # ks 3 | ns 1 | d_vcm 1 | d_vm 1 | throughput 3 | act 1
+
+
+def _use_merge_defer() -> bool:
+    return os.environ.get("IMBA_MERGE_DEFER", "1") != "0"
+
+
+def _merge_deferred(grid, algo, techniques) -> bool:
+    """True when the camera pass should log merge queries instead of
+    dispatching per bounce (MergeGrid route only — the HashGrid fallback
+    has no batched kernel)."""
+    from ...ops import pallas_merge
+
+    return (algo in ("vcm", "ppm") and "merge" in techniques
+            and isinstance(grid, pallas_merge.MergeGrid)
+            and _use_merge_defer())
+
+
+def _flush_merge_qlog(qlog, grid, pm_radius, mis_eta_vc, light_path_count,
+                      *, mat_kinds, ppm):
+    """Batched vertex merging over logged camera-pass query records.
+
+    qlog (26, B, L) component-major: B logged bounces for L lanes.
+    Returns the per-lane merged radiance (L, 3), summed over bounces —
+    exactly sum_i of what the per-bounce _vertex_merging calls would
+    have added (up to float association in the film sum)."""
+    from ...ops import pallas_merge
+
+    c_, m_, l_ = qlog.shape
+    comp = qlog.reshape(c_, m_ * l_)
+    params = dict(kind=comp[12].astype(jnp.int32), kd=comp[13:16].T,
+                  ks=comp[16:19].T, ns=comp[19])
+    active = comp[25] > 0.5
+    kinds = mat_kinds if mat_kinds is not None else (0, 3, 4, 5)
+    contrib = pallas_merge.merge_contrib(
+        grid, comp[0:3].T, comp[3:6].T, comp[6:9].T, comp[9:12].T,
+        params, comp[20], comp[21], active, mis_eta_vc,
+        kinds=kinds, ppm=ppm)
+    radius_sqr = jnp.maximum(pm_radius * pm_radius, 1e-20)
+    norm = 2.0 / (PI * radius_sqr * light_path_count)
+    add = jnp.where(active[:, None], comp[22:25].T * contrib * norm, 0.0)
+    return add.reshape(m_, l_, 3).sum(axis=0)
 
 
 def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
@@ -616,12 +702,22 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
         alpha_fn=alpha_fn, max_steps=max_steps, techniques=techniques,
         mat_kinds=mat_kinds,
     )
+    defer = _merge_deferred(grid, algo, techniques)
+    if defer:
+        fz = 0.0 * carry["radiance"][0, 0]
+        carry["qlog"] = jnp.zeros(
+            (_QLOG_COLS, max_len, carry["d"].shape[0]), jnp.float32) + fz
     out = jax.lax.fori_loop(0, max_len, body, carry)
+    rad = out["radiance"]
+    if defer:
+        rad = rad + _flush_merge_qlog(
+            out["qlog"], grid, pm_radius, mis_eta_vc, light_path_count,
+            mat_kinds=mat_kinds, ppm=(algo == "ppm"))
     # pixel_id is a static tile-order permutation of arange(P) tiled by
     # spp: un-permute + reshape+sum instead of a scatter (see pt.camera_rays).
     from .pt import unswizzle_film
 
-    return unswizzle_film(out["radiance"], spp, num_pixels, width)
+    return unswizzle_film(rad, spp, num_pixels, width)
 
 
 def _direct_illum(scene, isect, throughput, d_vc, d_vcm, active, state,
@@ -1021,7 +1117,21 @@ def _vcm_camera_phase1(scene, cam, frame, cache, grid, base_radius, *, algo,
         alpha_fn=alpha_fn, max_steps=max_steps, techniques=techniques,
         mat_kinds=mat_kinds,
     )
-    return jax.lax.fori_loop(0, bounces, body, carry), pixel_id
+    defer = _merge_deferred(grid, algo, techniques)
+    if defer:
+        fz = 0.0 * carry["radiance"][0, 0]
+        carry["qlog"] = jnp.zeros(
+            (_QLOG_COLS, max_len, carry["d"].shape[0]), jnp.float32) + fz
+    out = jax.lax.fori_loop(0, bounces, body, carry)
+    if defer:
+        # Flush phase-1 bounces here, BEFORE compaction: the qlog must
+        # not ride through _compact_carry's lane sort (it only handles
+        # lane-major 1/2-D columns, and 26*max_len sort payloads would
+        # dominate the sort).  Only rows [0, bounces) were written.
+        out["radiance"] = out["radiance"] + _flush_merge_qlog(
+            out.pop("qlog")[:, :bounces, :], grid, pm_radius, mis_eta_vc,
+            light_path_count, mat_kinds=mat_kinds, ppm=(algo == "ppm"))
+    return out, pixel_id
 
 
 @partial(jax.jit, static_argnames=_CAM_STATICS)
@@ -1045,7 +1155,19 @@ def _vcm_camera_phase2(scene, frame, cache, grid, base_radius, c, *, algo,
         alpha_fn=alpha_fn, max_steps=max_steps, techniques=techniques,
         mat_kinds=mat_kinds,
     )
-    return jax.lax.fori_loop(bounces, max_len, body, c)
+    defer = _merge_deferred(grid, algo, techniques)
+    if defer:
+        c = dict(c)
+        fz = 0.0 * c["radiance"][0, 0]
+        c["qlog"] = jnp.zeros(
+            (_QLOG_COLS, max_len, c["d"].shape[0]), jnp.float32) + fz
+    out = jax.lax.fori_loop(bounces, max_len, body, c)
+    if defer:
+        # Only rows [bounces, max_len) were written in phase 2.
+        out["radiance"] = out["radiance"] + _flush_merge_qlog(
+            out.pop("qlog")[:, bounces:, :], grid, pm_radius, mis_eta_vc,
+            light_path_count, mat_kinds=mat_kinds, ppm=(algo == "ppm"))
+    return out
 
 
 def _camera_pass_compact(scene, cam, frame, cache, grid, base_radius, *,

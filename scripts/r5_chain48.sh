@@ -25,11 +25,11 @@ run() {
   echo "--- exit=$? $(date) ---" >> $LOG
 }
 
-run env IMBA_CACHE_CAP_MULT=2 python tools/run_bench.py -t 30 \
+run env IMBA_CACHE_CAP_MULT=2 IMBA_MERGE_DEFER=0 python tools/run_bench.py -t 30 \
     --only 'cornell_bpt_org$' -o results/r5_q_bptorg_cap2.csv
-run env IMBA_CACHE_CAP_MULT=2 python tools/run_bench.py -t 30 \
+run env IMBA_CACHE_CAP_MULT=2 IMBA_MERGE_DEFER=0 python tools/run_bench.py -t 30 \
     --only 'cornell_vcm$' -o results/r5_q_vcm_cap2.csv
-run env IMBA_CACHE_CAP_MULT=2 python tools/run_bench.py -t 30 \
+run env IMBA_CACHE_CAP_MULT=2 IMBA_MERGE_DEFER=0 python tools/run_bench.py -t 30 \
     --only 'cornell_water_vcm$' -o results/r5_q_water_cap2.csv
 
 echo "=== chain48 done $(date) ===" >> $LOG
