@@ -35,6 +35,7 @@ GOLDENS = {
     "still_life_512_len4": ("proc:still_life", 512, 512, 4),
     "still_life_1080p_len8": ("proc:still_life", 1920, 1080, 8),
     "still_life_1080p_len10": ("proc:still_life", 1920, 1080, 10),
+    "still_life_512_len10": ("proc:still_life", 512, 512, 10),
     "instances_1080p_len10": (
         "/root/reference/test/scenes/cornell/cornell_instances.scene",
         1920, 1080, 10),

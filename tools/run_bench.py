@@ -101,28 +101,40 @@ DEFAULT_RUNS = [
 # the checkout; proc:still_life is the full-material-set + env + masks
 # stand-in, scene/procedural.py::make_still_life_like).  Not in the
 # default set — enable with --proxies or --only.
+# Goldens are SELF-RENDERED long PT runs (tools/render_golden.py, the
+# reference's own render_refs.sh method) keyed by (scene, res,
+# max_path_len); rows report RMSE/PSNR once goldens/ is populated and
+# silently skip the metric when a golden is absent (run_one).
+GOLDENS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "goldens")
 PROXY_RUNS = [
     # config 1: CPU-reference parity run — 512^2, 4 bounces, 16 spp
-    ("still_life_pt_512_16spp", "proc:still_life", "", "pt", 512, 512,
+    ("still_life_pt_512_16spp", "proc:still_life",
+     f"{GOLDENS}/still_life_512_len4.png", "pt", 512, 512,
      {"max_path_len": 4, "spp": 16}),
     # config 2: full material set + env light, 1080p PT, 8 bounces
-    ("still_life_pt_1080p", "proc:still_life", "", "pt", 1920, 1080,
+    ("still_life_pt_1080p", "proc:still_life",
+     f"{GOLDENS}/still_life_1080p_len8.png", "pt", 1920, 1080,
      {"max_path_len": 8}),
     # config 3: BDPT full connections + MIS, 1080p progressive
-    ("still_life_bpt_1080p", "proc:still_life", "", "bpt", 1920, 1080,
+    ("still_life_bpt_1080p", "proc:still_life",
+     f"{GOLDENS}/still_life_1080p_len8.png", "bpt", 1920, 1080,
      {"max_path_len": 8}),
     # config 4: PPM + photon hash grid, 1M photons/iter
-    ("still_life_ppm_1M", "proc:still_life", "", "ppm", 1920, 1080,
+    ("still_life_ppm_1M", "proc:still_life",
+     f"{GOLDENS}/still_life_1080p_len10.png", "ppm", 1920, 1080,
      {"light_path_count": 1 << 20}),
     # config 5: VCM on an instanced multi-mesh scene, 1080p
     ("instances_vcm_1080p", f"{SCENES}/cornell/cornell_instances.scene",
-     "", "vcm", 1920, 1080, {}),
+     f"{GOLDENS}/instances_1080p_len10.png", "vcm", 1920, 1080, {}),
     # Diagnostics for the bench_r4.csv remote-compile failures on the
     # two rows above (HTTP 500 from tpu_compile_helper within ~30 s):
     # scale bisect (512^2 bpt) and photon-count bisect (1080p ppm at
     # the capped default lpc instead of the config-4 1M).
-    ("still_life_bpt_512", "proc:still_life", "", "bpt", 512, 512, {}),
-    ("still_life_ppm_131k", "proc:still_life", "", "ppm", 1920, 1080,
+    ("still_life_bpt_512", "proc:still_life",
+     f"{GOLDENS}/still_life_512_len10.png", "bpt", 512, 512, {}),
+    ("still_life_ppm_131k", "proc:still_life",
+     f"{GOLDENS}/still_life_1080p_len10.png", "ppm", 1920, 1080,
      {"light_path_count": 1 << 17}),
 ]
 
