@@ -128,6 +128,12 @@ def trace_paths(
     """
     alpha_fn = alpha_fn_for(scene) if has_masks else None
     carry = _init_carry(org, d, state)
+    defer = _use_shadow_defer()
+    if defer:
+        fz = 0.0 * carry["radiance"][0, 0]
+        carry["slog"] = jnp.zeros(
+            (_SLOG_COLS, max_len, org.shape[0]), jnp.float32) + fz
+        carry["srow"] = jnp.int32(0) + 0 * carry["depth"][0]
 
     def bounce_body(i, c):
         return _pt_bounce(scene, c, alpha_fn=alpha_fn, has_bump=has_bump,
@@ -135,9 +141,51 @@ def trace_paths(
                           ablate=ablate)
 
     out = jax.lax.fori_loop(0, max_len, bounce_body, carry)
+    radiance = out["radiance"]
+    if defer:
+        radiance = radiance + _resolve_slog(
+            scene, out["slog"], alpha_fn=alpha_fn, max_steps=max_steps)
     if with_stats:
-        return out["radiance"], out["n_rays"]
-    return out["radiance"]
+        return radiance, out["n_rays"]
+    return radiance
+
+
+#  Deferred NEE occlusion (the VERDICT-r4 "different frame shape" probe
+#  for the fused-frame fusion floor): shadow rays are read-only w.r.t.
+#  the path carry and consume no RNG, so each bounce can LOG its ray +
+#  contribution (component-major slog, same pattern as vcm's merge qlog)
+#  and the driver resolves all of them in chunked any_hit dispatches
+#  after the loop.  Estimator-exact; only float accumulation order and
+#  the megastep's fusion shape change.  IMBA_SHADOW_DEFER=1 enables
+#  (trace-time read; default OFF until the TPU A/B lands).
+
+_SLOG_COLS = 12  # org 3 | dir 3 | tmin 1 | tmax 1 | contrib 3 | ok 1
+
+
+def _use_shadow_defer() -> bool:
+    return os.environ.get("IMBA_SHADOW_DEFER", "0") == "1"
+
+
+def _resolve_slog(scene, slog, *, alpha_fn, max_steps):
+    """Occlusion-test every logged shadow ray and return the per-lane
+    NEE radiance (L, 3) summed over bounces.  Dispatches are chunked to
+    BAND_RAYS (oversized single dispatches are the known device-fault
+    shape); chunk order is bounce-major, the same coherence the
+    per-bounce dispatches had."""
+    nrows, m_, l_ = slog.shape
+    comp = slog.reshape(nrows, m_ * l_)
+    total = m_ * l_
+    occ_parts = []
+    for s in range(0, total, BAND_RAYS):
+        e = min(s + BAND_RAYS, total)
+        occ_parts.append(any_hit(
+            scene.bvh, comp[0:3, s:e].T, comp[3:6, s:e].T, comp[6, s:e],
+            comp[7, s:e], alpha_fn=alpha_fn,
+            active=comp[11, s:e] > 0.5, max_steps=max_steps, sort=True))
+    occ = occ_parts[0] if len(occ_parts) == 1 else jnp.concatenate(occ_parts)
+    ok = (comp[11] > 0.5) & ~occ
+    add = jnp.where(ok[:, None], comp[8:11].T, 0.0)
+    return add.reshape(m_, l_, 3).sum(axis=0)
 
 
 def _init_carry(org, d, state):
@@ -265,6 +313,7 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
 
     # ---- next-event estimation (pt.cpp:17-44) ----------------------
     st = c["state"]
+    slog = c.get("slog")
     if "nee" not in ablate:
         if "rng" in ablate:
             ul, ua, ub = _fake_floats(0.0, 3)
@@ -297,20 +346,41 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
         offset = 1e-3 * jnp.where(ds.distance >= BIG, 1.0, ds.distance)
         if "shadow" in ablate:
             occluded = jnp.zeros_like(shadow_ok)
+            radiance = radiance + jnp.where(
+                (shadow_ok & ~occluded)[..., None], contrib, 0.0)
+            n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
+        elif "slog" in c:
+            # Deferred occlusion (IMBA_SHADOW_DEFER): log the shadow ray
+            # + its contribution; the driver resolves every bounce's
+            # rays in chunked any_hit dispatches AFTER the loop
+            # (_resolve_slog).  Occlusion is read-only w.r.t. the path
+            # carry and consumes no RNG, so deferral is estimator-exact;
+            # only the fusion shape of the bounce body changes (the
+            # VERDICT-r4 "different frame shape" probe for the ~17 ms
+            # fused-frame floor).
+            rec = jnp.concatenate([
+                isect.pos.T, ds.dir.T, offset[None],
+                (ds.distance - offset)[None], contrib.T,
+                shadow_ok.astype(jnp.float32)[None],
+            ], axis=0)
+            slog = jax.lax.dynamic_update_slice(
+                c["slog"], rec[:, None, :], (0, c["srow"], 0))
+            n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
         else:
             occluded = any_hit(
                 scene.bvh, isect.pos, ds.dir, offset, ds.distance - offset,
                 alpha_fn=alpha_fn, active=shadow_ok, max_steps=max_steps,
                 sort=True,
             )
-        radiance = radiance + jnp.where((shadow_ok & ~occluded)[..., None], contrib, 0.0)
-        n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
+            radiance = radiance + jnp.where(
+                (shadow_ok & ~occluded)[..., None], contrib, 0.0)
+            n_rays = n_rays + jnp.sum(shadow_ok.astype(jnp.int32))
 
     # ---- bounce (pt.cpp:46-80) -------------------------------------
     if "bounce" in ablate:
         # Continue straight with unchanged throughput — keeps the
         # traversal loop alive with everything else compiled out.
-        return dict(
+        ret = dict(
             org=c["org"] + hit.t[..., None] * c["d"],
             d=c["d"],
             tmin=jnp.full_like(c["tmin"], 1e-3),
@@ -318,6 +388,10 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
             depth=c["depth"] + 1, last_pdf=c["last_pdf"],
             last_specular=c["last_specular"], state=st, n_rays=n_rays,
         )
+        if slog is not None:
+            ret["slog"] = slog
+            ret["srow"] = c["srow"] + 1
+        return ret
     if "rng" in ablate:
         urr, u1, u2, u3 = _fake_floats(3.0, 4)
     else:
@@ -351,7 +425,7 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
     )
     active = active & survive & valid & (c["depth"] + 1 < max_len)
 
-    return dict(
+    ret = dict(
         org=jnp.where(active[..., None], isect.pos, c["org"]),
         d=jnp.where(active[..., None], wi, c["d"]),
         tmin=jnp.where(active, 1e-3 * hit.t, c["tmin"]),
@@ -364,6 +438,10 @@ def _pt_bounce(scene, c, *, alpha_fn, has_bump, max_len, max_steps,
         state=st,
         n_rays=n_rays,
     )
+    if slog is not None:
+        ret["slog"] = slog
+        ret["srow"] = c["srow"] + 1
+    return ret
 
 
 def _tile_perm(num_pixels: int, width: int, tw: int = 32, th: int = 16):
