@@ -559,7 +559,23 @@ def _camera_body_fn(scene, cache, grid, pm_radius, base_radius, mis_eta_vc,
                     enabled="connect" in techniques, defer=shadow_batch,
                 )
 
-        if shadow_batch:
+        slog = None
+        if shadow_batch and "slog" in c:
+            # Deferred occlusion (IMBA_SHADOW_DEFER, same pattern as
+            # pt.py): log each shadow set's ray + contribution; the
+            # driver resolves every bounce's sets in chunked any_hit
+            # dispatches after the loop (pt._resolve_slog).  Occlusion
+            # is read-only w.r.t. the carry and consumes no RNG —
+            # estimator-exact, only fusion shape changes.
+            recs = [jnp.concatenate([
+                o_.T, d_.T, tn_[None], tx_[None], cb_.T,
+                ok_.astype(jnp.float32)[None],
+            ], axis=0) for (o_, d_, tn_, tx_, ok_, cb_) in shadow_batch]
+            rec = jnp.stack(recs, axis=1)           # (12, S, L)
+            ns = len(shadow_batch)
+            slog = jax.lax.dynamic_update_slice(
+                c["slog"], rec, (0, i * ns, 0))
+        elif shadow_batch:
             org_b = jnp.concatenate([e[0] for e in shadow_batch])
             dir_b = jnp.concatenate([e[1] for e in shadow_batch])
             tmin_b = jnp.concatenate([e[2] for e in shadow_batch])
@@ -618,6 +634,8 @@ def _camera_body_fn(scene, cache, grid, pm_radius, base_radius, mis_eta_vc,
                    d_vm=d_vm, state=st)
         if qlog is not None:
             ret["qlog"] = qlog
+        if slog is not None:
+            ret["slog"] = slog
         return ret
 
     return body
@@ -643,6 +661,27 @@ _QLOG_COLS = 26  # pos 3 | normal 3 | gn 3 | w_out 3 | kind 1 | kd 3 |
 
 def _use_merge_defer() -> bool:
     return os.environ.get("IMBA_MERGE_DEFER", "1") != "0"
+
+
+def _shadow_sets(algo, techniques, num_connections) -> int:
+    """Shadow-ray sets the camera body batches per bounce (must mirror
+    the defer-append conditions in _direct_illum / _connect)."""
+    n = 0
+    if algo != "ppm" and "next_event" in techniques:
+        n += 1
+    if algo in ("vcm", "bpt") and "connect" in techniques:
+        n += num_connections
+    return n
+
+
+def _shadow_deferred(algo, techniques, num_connections) -> bool:
+    """Deferred camera-pass occlusion (IMBA_SHADOW_DEFER, pt.py's knob):
+    log NEE + connection shadow rays per bounce, resolve all bounces in
+    chunked any_hit dispatches after the loop (pt._resolve_slog)."""
+    from .pt import _use_shadow_defer
+
+    return (_use_shadow_defer()
+            and _shadow_sets(algo, techniques, num_connections) > 0)
 
 
 def _merge_deferred(grid, algo, techniques) -> bool:
@@ -703,16 +742,26 @@ def _camera_pass(scene, cam: Camera, frame, cache, grid, pm_radius, base_radius,
         mat_kinds=mat_kinds,
     )
     defer = _merge_deferred(grid, algo, techniques)
+    sdefer = _shadow_deferred(algo, techniques, num_connections)
+    fz = 0.0 * carry["radiance"][0, 0]
     if defer:
-        fz = 0.0 * carry["radiance"][0, 0]
         carry["qlog"] = jnp.zeros(
             (_QLOG_COLS, max_len, carry["d"].shape[0]), jnp.float32) + fz
+    if sdefer:
+        ns = _shadow_sets(algo, techniques, num_connections)
+        carry["slog"] = jnp.zeros(
+            (12, max_len * ns, carry["d"].shape[0]), jnp.float32) + fz
     out = jax.lax.fori_loop(0, max_len, body, carry)
     rad = out["radiance"]
     if defer:
         rad = rad + _flush_merge_qlog(
             out["qlog"], grid, pm_radius, mis_eta_vc, light_path_count,
             mat_kinds=mat_kinds, ppm=(algo == "ppm"))
+    if sdefer:
+        from .pt import _resolve_slog
+
+        rad = rad + _resolve_slog(scene, out["slog"], alpha_fn=alpha_fn,
+                                  max_steps=max_steps)
     # pixel_id is a static tile-order permutation of arange(P) tiled by
     # spp: un-permute + reshape+sum instead of a scatter (see pt.camera_rays).
     from .pt import unswizzle_film
@@ -1118,10 +1167,15 @@ def _vcm_camera_phase1(scene, cam, frame, cache, grid, base_radius, *, algo,
         mat_kinds=mat_kinds,
     )
     defer = _merge_deferred(grid, algo, techniques)
+    sdefer = _shadow_deferred(algo, techniques, num_connections)
+    fz = 0.0 * carry["radiance"][0, 0]
     if defer:
-        fz = 0.0 * carry["radiance"][0, 0]
         carry["qlog"] = jnp.zeros(
             (_QLOG_COLS, max_len, carry["d"].shape[0]), jnp.float32) + fz
+    if sdefer:
+        ns = _shadow_sets(algo, techniques, num_connections)
+        carry["slog"] = jnp.zeros(
+            (12, max_len * ns, carry["d"].shape[0]), jnp.float32) + fz
     out = jax.lax.fori_loop(0, bounces, body, carry)
     if defer:
         # Flush phase-1 bounces here, BEFORE compaction: the qlog must
@@ -1131,6 +1185,13 @@ def _vcm_camera_phase1(scene, cam, frame, cache, grid, base_radius, *, algo,
         out["radiance"] = out["radiance"] + _flush_merge_qlog(
             out.pop("qlog")[:, :bounces, :], grid, pm_radius, mis_eta_vc,
             light_path_count, mat_kinds=mat_kinds, ppm=(algo == "ppm"))
+    if sdefer:
+        from .pt import _resolve_slog
+
+        ns = _shadow_sets(algo, techniques, num_connections)
+        out["radiance"] = out["radiance"] + _resolve_slog(
+            scene, out.pop("slog")[:, :bounces * ns, :], alpha_fn=alpha_fn,
+            max_steps=max_steps)
     return out, pixel_id
 
 
@@ -1156,17 +1217,30 @@ def _vcm_camera_phase2(scene, frame, cache, grid, base_radius, c, *, algo,
         mat_kinds=mat_kinds,
     )
     defer = _merge_deferred(grid, algo, techniques)
-    if defer:
+    sdefer = _shadow_deferred(algo, techniques, num_connections)
+    if defer or sdefer:
         c = dict(c)
         fz = 0.0 * c["radiance"][0, 0]
+    if defer:
         c["qlog"] = jnp.zeros(
             (_QLOG_COLS, max_len, c["d"].shape[0]), jnp.float32) + fz
+    if sdefer:
+        ns = _shadow_sets(algo, techniques, num_connections)
+        c["slog"] = jnp.zeros(
+            (12, max_len * ns, c["d"].shape[0]), jnp.float32) + fz
     out = jax.lax.fori_loop(bounces, max_len, body, c)
     if defer:
         # Only rows [bounces, max_len) were written in phase 2.
         out["radiance"] = out["radiance"] + _flush_merge_qlog(
             out.pop("qlog")[:, bounces:, :], grid, pm_radius, mis_eta_vc,
             light_path_count, mat_kinds=mat_kinds, ppm=(algo == "ppm"))
+    if sdefer:
+        from .pt import _resolve_slog
+
+        ns = _shadow_sets(algo, techniques, num_connections)
+        out["radiance"] = out["radiance"] + _resolve_slog(
+            scene, out.pop("slog")[:, bounces * ns:, :], alpha_fn=alpha_fn,
+            max_steps=max_steps)
     return out
 
 

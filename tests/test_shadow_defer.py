@@ -39,6 +39,39 @@ def test_defer_matches_per_bounce(monkeypatch):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_vcm_defer_matches_per_bounce(monkeypatch):
+    """VCM camera pass: NEE + connection shadow sets logged per bounce
+    and resolved post-loop must reproduce the per-bounce batched
+    any_hit (banded and compacted)."""
+    from imbatracer_tpu.render.camera import make_camera
+    from imbatracer_tpu.render.integrators import vcm as vcm_mod
+    from imbatracer_tpu.scene.procedural import make_cornell_scene
+
+    scene, meta = make_cornell_scene()
+    size = 24
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size,
+                      60.0)
+    kw = dict(algo="vcm", width=size, height=size, spp=1, max_len=4,
+              light_path_count=256)
+
+    def frame(defer, compact):
+        monkeypatch.setenv("IMBA_SHADOW_DEFER", "1" if defer else "0")
+        monkeypatch.setenv("IMBA_VCM_COMPACT", "1" if compact else "0")
+        monkeypatch.setenv("IMBA_VCM_COMPACT_DEPTH", "2")
+        if compact:
+            monkeypatch.setattr(vcm_mod, "BAND_RAYS", 192)
+        jax.clear_caches()
+        return np.asarray(vcm_mod.render_vcm_frame(
+            scene, cam, jnp.uint32(0), jnp.float32(0.05), **kw))
+
+    a = frame(False, False)
+    b = frame(True, False)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    c = frame(True, True)
+    assert np.isfinite(c).all()
+    np.testing.assert_allclose(a, c, rtol=2e-4, atol=2e-5)
+
+
 def test_defer_chunked_resolve(monkeypatch):
     """Force the resolve to chunk (BAND_RAYS < logged rows) so the
     chunked any_hit path is exercised."""
