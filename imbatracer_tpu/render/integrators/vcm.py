@@ -199,6 +199,14 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         # ~13 ms/step measured — CLAUDE.md, pt regen flush lesson).
         carry["cc"] = jnp.zeros((max_len, L, 3), jnp.float32) + fz
         carry["cp"] = jnp.full((max_len, L), -1, jnp.int32) + iz
+        from .pt import _use_shadow_defer
+
+        if _use_shadow_defer():
+            # Deferred cc occlusion: log the shadow ray per bounce, one
+            # chunked any_hit after the loop zeroes occluded rows before
+            # the splat (IMBA_SHADOW_DEFER; same pattern as the camera
+            # pass slog).
+            carry["sclog"] = jnp.zeros((9, max_len, L), jnp.float32) + fz
 
     def body(i, c):
         hit = closest_hit(scene.bvh, c["org"], c["d"], c["tmin"], BIG,
@@ -252,11 +260,19 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         # L — banding must not change the estimator (a 1024² frame runs
         # the light pass in multiple bands).
         if use_cc:
-            contrib, pix = _connect_to_camera(
+            res = _connect_to_camera(
                 scene, cam, isect, c["throughput"], d_vc, d_vcm,
                 active & non_spec, mis_eta_vm, light_path_count, num_pixels,
-                algo, alpha_fn, max_steps,
+                algo, alpha_fn, max_steps, defer="sclog" in c,
             )
+            contrib, pix = res[0], res[1]
+            if "sclog" in c:
+                (o_, d_, tn_, tx_, ok_) = res[2]
+                rec = jnp.concatenate([
+                    o_.T, d_.T, tn_[None], tx_[None],
+                    ok_.astype(jnp.float32)[None]], axis=0)
+                out["sclog"] = jax.lax.dynamic_update_slice(
+                    c["sclog"], rec[:, None, :], (0, i, 0))
             out["cc"] = jax.lax.dynamic_update_slice(
                 c["cc"], contrib[None], (i, 0, 0))
             out["cp"] = jax.lax.dynamic_update_slice(
@@ -276,7 +292,24 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         return out
 
     out = jax.lax.fori_loop(0, max_len, body, carry)
-    if use_cc:
+    if use_cc and "sclog" in out:
+        from .pt import BAND_RAYS as _PT_BAND
+
+        comp = out["sclog"].reshape(9, max_len * L)
+        occ_parts = []
+        for s in range(0, max_len * L, _PT_BAND):
+            e = min(s + _PT_BAND, max_len * L)
+            occ_parts.append(any_hit(
+                scene.bvh, comp[0:3, s:e].T, comp[3:6, s:e].T,
+                comp[6, s:e], comp[7, s:e], alpha_fn=alpha_fn,
+                active=comp[8, s:e] > 0.5, max_steps=max_steps, sort=True))
+        occ = (occ_parts[0] if len(occ_parts) == 1
+               else jnp.concatenate(occ_parts))
+        keep = (comp[8] > 0.5) & ~occ
+        film = splat(
+            jnp.where(keep[:, None], out["cc"].reshape(-1, 3), 0.0),
+            jnp.where(keep, out["cp"].reshape(-1), -1), num_pixels)
+    elif use_cc:
         film = splat(out["cc"].reshape(-1, 3), out["cp"].reshape(-1),
                      num_pixels)
     else:
@@ -297,7 +330,7 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
 
 def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
                        mis_eta_vm, light_path_count, num_pixels, algo, alpha_fn,
-                       max_steps=0):
+                       max_steps=0, defer=False):
     to_cam = cam.pos - isect.pos
     # Keep vertices in front of the camera (vcm.cpp:264-265 skips when
     # dot(-dir_to_cam, cam.dir) < 0).
@@ -331,6 +364,15 @@ def _connect_to_camera(scene, cam, isect, throughput, d_vc, d_vcm, valid,
     valid = valid & jnp.any(contrib > 0.0, axis=-1)
 
     offset = dist * 1e-3
+    if defer:
+        # Deferred occlusion (IMBA_SHADOW_DEFER): hand the caller the
+        # un-occluded rows plus the shadow ray; the light pass logs the
+        # ray per bounce and one chunked any_hit after the loop zeroes
+        # the occluded rows before the splat (estimator-exact — the
+        # occlusion test is read-only and consumes no RNG).
+        return (jnp.where(valid[..., None], contrib, 0.0),
+                jnp.where(valid, pixel, -1),
+                (isect.pos, dir_c, offset, dist - offset, valid))
     occluded = any_hit(scene.bvh, isect.pos, dir_c, offset, dist - offset,
                        alpha_fn=alpha_fn, active=valid, max_steps=max_steps,
                        sort=True)

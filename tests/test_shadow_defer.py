@@ -72,6 +72,33 @@ def test_vcm_defer_matches_per_bounce(monkeypatch):
     np.testing.assert_allclose(a, c, rtol=2e-4, atol=2e-5)
 
 
+def test_light_pass_cc_defer_matches(monkeypatch):
+    """Light-pass camera connections: deferred cc occlusion (sclog) must
+    reproduce the per-bounce any_hit — LT is pure light transport, so
+    the whole film goes through this path."""
+    from imbatracer_tpu.render.camera import make_camera
+    from imbatracer_tpu.render.integrators import vcm as vcm_mod
+    from imbatracer_tpu.scene.procedural import make_cornell_scene
+
+    scene, meta = make_cornell_scene()
+    size = 24
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size,
+                      60.0)
+    kw = dict(algo="lt", width=size, height=size, spp=1, max_len=4,
+              light_path_count=256)
+
+    def frame(defer):
+        monkeypatch.setenv("IMBA_SHADOW_DEFER", "1" if defer else "0")
+        jax.clear_caches()
+        return np.asarray(vcm_mod.render_vcm_frame(
+            scene, cam, jnp.uint32(0), jnp.float32(0.05), **kw))
+
+    a = frame(False)
+    b = frame(True)
+    assert float(np.abs(a).sum()) > 0.0
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_defer_chunked_resolve(monkeypatch):
     """Force the resolve to chunk (BAND_RAYS < logged rows) so the
     chunked any_hit path is exercised."""
