@@ -107,6 +107,19 @@ def main():
     except Exception as e:
         sys.stderr.write(f"1080p metric failed: {type(e).__name__}\n")
 
+    headline = {
+        "metric": "pt_megastep_throughput_cornell_1024",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays * (8 / n_chips) / 500.0, 4),
+    }
+    try:
+        # Mirror for scripts/smoke_check.py (the stdout line stays the
+        # single driver-facing record).
+        with open("results/bench_headline.json", "w") as f:
+            json.dump(headline, f)
+    except OSError:
+        pass
     print(json.dumps({
         "metric": "pt_megastep_throughput_cornell_1024",
         "value": round(mrays, 2),
