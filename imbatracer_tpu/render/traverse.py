@@ -382,6 +382,16 @@ def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
         return (k + 1, exhausted, jnp.where(exhausted, new_tmin, tcur),
                 Hit(t=ht, prim_id=hid, u=hu, v=hv))
 
+    static_rounds = int(_os.environ.get("IMBA_MASK_STATIC_ROUNDS", "0"))
+    if static_rounds > 0:
+        # PROFILING ONLY (inexact beyond static_rounds*K mask layers):
+        # replace the data-dependent while with a fixed-trip fori so the
+        # frame-scope cost of the while *structure* (fusion barrier /
+        # scheduling, chains 19/20's unexplained +2207 ms carry) can be
+        # separated from the khit dispatches themselves.
+        st = (jnp.int32(0), act, tmin, hit0)
+        st = jax.lax.fori_loop(0, static_rounds, lambda _, s: body(s), st)
+        return st[3]
     _, _, _, hit = jax.lax.while_loop(
         cond, body, (jnp.int32(0), act, tmin, hit0))
     return hit
