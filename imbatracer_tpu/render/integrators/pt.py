@@ -163,26 +163,57 @@ _SLOG_COLS = 12  # org 3 | dir 3 | tmin 1 | tmax 1 | contrib 3 | ok 1
 
 
 def _use_shadow_defer() -> bool:
-    return os.environ.get("IMBA_SHADOW_DEFER", "0") == "1"
+    return os.environ.get("IMBA_SHADOW_DEFER", "0") in ("1", "2")
 
 
-def _resolve_slog(scene, slog, *, alpha_fn, max_steps):
-    """Occlusion-test every logged shadow ray and return the per-lane
-    NEE radiance (L, 3) summed over bounces.  Dispatches are chunked to
-    BAND_RAYS (oversized single dispatches are the known device-fault
-    shape); chunk order is bounce-major, the same coherence the
-    per-bounce dispatches had."""
-    nrows, m_, l_ = slog.shape
-    comp = slog.reshape(nrows, m_ * l_)
-    total = m_ * l_
+def _occlusion_batch(scene, org, d, tmin, tmax, ok, *, alpha_fn, max_steps):
+    """Chunked any_hit over a flat batch of shadow rays; returns occ in
+    input order.  Chunks are BAND_RAYS-sized (oversized single
+    dispatches are the known device-fault shape).
+
+    IMBA_SHADOW_DEFER=2: ONE global octant+Morton sort over the whole
+    batch replaces the per-chunk sorts (chunks then run sort=False) —
+    cross-bounce rays with shared direction/locality land in the same
+    block, and dead lanes (max key) compact into trailing all-dead
+    chunks, instead of each bounce-major chunk paying its own sort and
+    carrying its own dead lanes.  Any permutation is exact."""
+    total = org.shape[0]
+    inv = None
+    presort = os.environ.get("IMBA_SHADOW_DEFER", "0") == "2"
+    if presort:
+        from ...ops.pallas_stream import _scene_bounds, sort_keys
+        from ..traverse import _recenter
+
+        sbox = getattr(scene.bvh, "sbox", None)
+        if sbox is not None:
+            lo, hi = _scene_bounds(sbox)
+            key = sort_keys(_recenter(scene.bvh, org), d, ok, lo, hi)
+        else:
+            key = (~ok).astype(jnp.int32)  # dead-last only (dense/xla)
+        iota = jnp.arange(total, dtype=jnp.int32)
+        _, perm = jax.lax.sort((key, iota), num_keys=1)
+        org, d, tmin, tmax, ok = (org[perm], d[perm], tmin[perm],
+                                  tmax[perm], ok[perm])
+        inv = jnp.zeros_like(iota).at[perm].set(iota, unique_indices=True)
     occ_parts = []
     for s in range(0, total, BAND_RAYS):
         e = min(s + BAND_RAYS, total)
         occ_parts.append(any_hit(
-            scene.bvh, comp[0:3, s:e].T, comp[3:6, s:e].T, comp[6, s:e],
-            comp[7, s:e], alpha_fn=alpha_fn,
-            active=comp[11, s:e] > 0.5, max_steps=max_steps, sort=True))
+            scene.bvh, org[s:e], d[s:e], tmin[s:e], tmax[s:e],
+            alpha_fn=alpha_fn, active=ok[s:e], max_steps=max_steps,
+            sort=not presort))
     occ = occ_parts[0] if len(occ_parts) == 1 else jnp.concatenate(occ_parts)
+    return occ if inv is None else occ[inv]
+
+
+def _resolve_slog(scene, slog, *, alpha_fn, max_steps):
+    """Occlusion-test every logged shadow ray and return the per-lane
+    NEE radiance (L, 3) summed over bounces."""
+    nrows, m_, l_ = slog.shape
+    comp = slog.reshape(nrows, m_ * l_)
+    occ = _occlusion_batch(
+        scene, comp[0:3].T, comp[3:6].T, comp[6], comp[7],
+        comp[11] > 0.5, alpha_fn=alpha_fn, max_steps=max_steps)
     ok = (comp[11] > 0.5) & ~occ
     add = jnp.where(ok[:, None], comp[8:11].T, 0.0)
     return add.reshape(m_, l_, 3).sum(axis=0)

@@ -293,18 +293,12 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
 
     out = jax.lax.fori_loop(0, max_len, body, carry)
     if use_cc and "sclog" in out:
-        from .pt import BAND_RAYS as _PT_BAND
+        from .pt import _occlusion_batch
 
         comp = out["sclog"].reshape(9, max_len * L)
-        occ_parts = []
-        for s in range(0, max_len * L, _PT_BAND):
-            e = min(s + _PT_BAND, max_len * L)
-            occ_parts.append(any_hit(
-                scene.bvh, comp[0:3, s:e].T, comp[3:6, s:e].T,
-                comp[6, s:e], comp[7, s:e], alpha_fn=alpha_fn,
-                active=comp[8, s:e] > 0.5, max_steps=max_steps, sort=True))
-        occ = (occ_parts[0] if len(occ_parts) == 1
-               else jnp.concatenate(occ_parts))
+        occ = _occlusion_batch(
+            scene, comp[0:3].T, comp[3:6].T, comp[6], comp[7],
+            comp[8] > 0.5, alpha_fn=alpha_fn, max_steps=max_steps)
         keep = (comp[8] > 0.5) & ~occ
         film = splat(
             jnp.where(keep[:, None], out["cc"].reshape(-1, 3), 0.0),

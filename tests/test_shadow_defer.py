@@ -13,7 +13,7 @@ from imbatracer_tpu.render.integrators import pt as pt_mod
 
 
 def _frame(scene, cam, size, monkeypatch, defer):
-    monkeypatch.setenv("IMBA_SHADOW_DEFER", "1" if defer else "0")
+    monkeypatch.setenv("IMBA_SHADOW_DEFER", str(defer) if defer else "0")
     monkeypatch.setenv("IMBA_PT_COMPACT", "0")
     # The defer flag is read at trace time inside the jitted band driver
     # (same signature either way) — drop compiled traces so the flag is
@@ -37,6 +37,9 @@ def test_defer_matches_per_bounce(monkeypatch):
     assert np.isfinite(b).all()
     assert float(np.abs(a).sum()) > 0.0
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # Mode 2: one global octant sort over the batch, per-chunk sort off.
+    c = _frame(scene, cam, size, monkeypatch, defer=2)
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
 
 
 def test_vcm_defer_matches_per_bounce(monkeypatch):
