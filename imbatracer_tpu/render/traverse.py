@@ -397,6 +397,94 @@ def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
     return hit
 
 
+def _dense2_max() -> int:
+    """IMBA_DENSE2_MAX=<tris>: route vmem-mode dispatches with at most
+    this many packed triangles through the broadcast-dense formulation
+    (0 = off).  Trace-time read (bench-chain A/B convention)."""
+    try:
+        return int(_os.environ.get("IMBA_DENSE2_MAX", "0"))
+    except ValueError:
+        return 0
+
+
+def _dense_bcast(bvh, org, d, tmin, tmax, active, want_hit):
+    """Broadcast-dense exhaustive Möller-Trumbore: ONE (R, T) elementwise
+    chain that XLA fuses into the reduction (occlusion: any; closest:
+    argmin over the masked t plane + one wide-record gather and a winner
+    recompute).
+
+    Occupies the gap between the unrolled dense mode (compile size O(T):
+    the ~1k-tri unroll blows axon's 2 GiB executable-serialization cap)
+    and the vmem Pallas kernel (a fusion barrier with per-dispatch sort
+    machinery, ~22 ms at 262k lanes on the 2188-tri cornell VCM family).
+    Compile size here is O(1) in T, there is no Pallas call and no sort;
+    the (R, T) product is ~25 VPU ops/pair — at 2k tris x 262k rays
+    that is ~14 Gops, well under the machinery it replaces.  Masked
+    scenes keep the vmem route (alpha_fn would need per-pair texture
+    gathers)."""
+    num_r = org.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (num_r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (num_r,))
+    act = jnp.ones((num_r,), jnp.bool_) if active is None else active
+
+    # (R, 1) ray components x (1, T) triangle components.
+    ox, oy, oz = org[:, 0:1], org[:, 1:2], org[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    v0x, v0y, v0z = (bvh.tri_v0[None, :, 0], bvh.tri_v0[None, :, 1],
+                     bvh.tri_v0[None, :, 2])
+    e1x, e1y, e1z = (bvh.tri_e1[None, :, 0], bvh.tri_e1[None, :, 1],
+                     bvh.tri_e1[None, :, 2])
+    e2x, e2y, e2z = (bvh.tri_e2[None, :, 0], bvh.tri_e2[None, :, 1],
+                     bvh.tri_e2[None, :, 2])
+    tid = bvh.tri_id[None, :]
+
+    def mt(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid, lo, hi):
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = ((inv_det != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (tt > lo) & (tt < hi) & (tid >= 0))
+        return tt, u, v, ok
+
+    tt, _, _, ok = mt(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid,
+                      tmin[:, None], tmax[:, None])
+    ok = ok & act[:, None]
+    if not want_hit:
+        return jnp.any(ok, axis=1)
+
+    big = jnp.float32(BIG)
+    best = jnp.argmin(jnp.where(ok, tt, big), axis=1)         # (R,)
+    # One wide-record gather of the winning triangle, then recompute —
+    # the (R, T) planes above exist only inside the fused reduction.
+    rec = jnp.concatenate([
+        bvh.tri_v0, bvh.tri_e1, bvh.tri_e2,
+        bvh.tri_id.astype(jnp.float32)[:, None],
+    ], axis=1)                                                # (T, 10)
+    g = rec[best].T                                           # (10, R)
+    tid_w = g[9].astype(jnp.int32)[:, None]
+    tt_w, u_w, v_w, ok_w = mt(
+        g[0][:, None], g[1][:, None], g[2][:, None],
+        g[3][:, None], g[4][:, None], g[5][:, None],
+        g[6][:, None], g[7][:, None], g[8][:, None],
+        tid_w, tmin[:, None], tmax[:, None])
+    valid = (ok_w[:, 0] & act)
+    return Hit(
+        t=jnp.where(valid, tt_w[:, 0], big),
+        prim_id=jnp.where(valid, tid_w[:, 0], -1),
+        u=jnp.where(valid, u_w[:, 0], 0.0),
+        v=jnp.where(valid, v_w[:, 0], 0.0),
+    )
+
+
 def _dense_chunked(bvh, org, d, tmin, tmax, active, alpha_fn, want_hit,
                    chunk: int = 32):
     """Exhaustive all-triangles test as a fori_loop over triangle chunks.
@@ -600,6 +688,10 @@ def closest_hit(
         from ..ops.pallas_vmem import closest_hit_vmem
 
         if alpha_fn is None:
+            if (bvh.tri_v0 is not None
+                    and 0 < bvh.tri_v0.shape[0] <= _dense2_max()):
+                return _dense_bcast(bvh, org, d, tmin, tmax, active,
+                                    want_hit=True)
             if sort and _vmem_sort():
                 # Octant-major pre-sort (pallas_vmem._sorted_vmem_call:
                 # the kernel's per-block cost scales with the union of
@@ -708,6 +800,10 @@ def any_hit(
         from ..ops.pallas_vmem import any_hit_vmem, closest_hit_vmem
 
         if alpha_fn is None:
+            if (bvh.tri_v0 is not None
+                    and 0 < bvh.tri_v0.shape[0] <= _dense2_max()):
+                return _dense_bcast(bvh, org, d, tmin, tmax, active,
+                                    want_hit=False)
             if sort and _vmem_sort():
                 from ..ops.pallas_vmem import any_hit_vmem_sorted
 
