@@ -11,10 +11,10 @@ LOG=results/r5_chain50.log
 echo $$ > /tmp/chain50.pid
 echo "=== chain50 queued $(date) ===" >> $LOG
 
-while kill -0 "$(cat /tmp/chain49.pid 2>/dev/null)" 2>/dev/null; do
+while kill -0 "$(cat /tmp/chain53.pid 2>/dev/null)" 2>/dev/null; do
   sleep 60
 done
-echo "=== chain49 done, starting $(date) ===" >> $LOG
+echo "=== chain53 done, starting $(date) ===" >> $LOG
 
 run() {
   echo "--- $* $(date) ---" >> $LOG
@@ -22,10 +22,10 @@ run() {
   echo "--- exit=$? $(date) ---" >> $LOG
 }
 
-run python tools/render_golden.py still_life_512_len4 still_life_512_len10 -t 600
-run python tools/render_golden.py still_life_1080p_len8 -t 1500
-run python tools/render_golden.py still_life_1080p_len10 -t 1500
-run python tools/render_golden.py instances_1080p_len10 -t 1500
+run python tools/render_golden.py still_life_512_len4 still_life_512_len10 -t 450
+run python tools/render_golden.py still_life_1080p_len8 -t 900
+run python tools/render_golden.py still_life_1080p_len10 -t 900
+run python tools/render_golden.py instances_1080p_len10 -t 900
 
 echo "=== chain50 done $(date) ===" >> $LOG
 rm -f /tmp/chain50.pid

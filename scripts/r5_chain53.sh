@@ -12,10 +12,10 @@ LOG=results/r5_chain53.log
 echo $$ > /tmp/chain53.pid
 echo "=== chain53 queued $(date) ===" >> $LOG
 
-while kill -0 "$(cat /tmp/chain51.pid 2>/dev/null)" 2>/dev/null; do
+while kill -0 "$(cat /tmp/chain49.pid 2>/dev/null)" 2>/dev/null; do
   sleep 60
 done
-echo "=== chain51 done, starting $(date) ===" >> $LOG
+echo "=== chain49 done, starting $(date) ===" >> $LOG
 
 run() {
   echo "--- $* $(date) ---" >> $LOG
