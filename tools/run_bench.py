@@ -95,6 +95,13 @@ DEFAULT_RUNS = [
     ("cornell_vcm_r16", f"{SCENES}/cornell/cornell_specular.scene",
      f"{REFS}/ref_cornell_specular.png", "vcm", 1024, 1024,
      {"radius_factor": 16.0}),
+    # Radius re-tune candidate once the round-5 frame-speed levers land:
+    # the 30 s radius knee was measured at ~3.2 s/frame (r5_radius_sweep2:
+    # 12 -> 29.35 dB, 16 -> 29.47); faster frames shift the
+    # variance/bias balance toward smaller radii.
+    ("cornell_vcm_r12", f"{SCENES}/cornell/cornell_specular.scene",
+     f"{REFS}/ref_cornell_specular.png", "vcm", 1024, 1024,
+     {"radius_factor": 12.0}),
 ]
 
 # BASELINE.json config-1..5 proxies (the Still Life OBJ is absent from
