@@ -1116,20 +1116,24 @@ def band_rays(has_masks: bool) -> int:
 
 
 def auto_cache_capacity(light_path_count: int, max_len: int) -> int:
-    """Default vertex-cache capacity.
+    """Default vertex-cache capacity: 2x light_path_count.
 
     The reference sizes its cache with probe paths so no vertex is ever
-    dropped (light_vertices.cpp:15-129).  The old 2x-lpc default
-    silently truncated 25-47% of light vertices on the cornell quality
-    rows — and because append fills in bounce order, it dropped the
-    DEEPEST bounces entirely (measured at lpc 131072 / max_len 10:
-    cornell_org stores 3.74 vertices/path, specular 2.68, water 2.75 —
-    results/r5_qrow_split.txt), a depth-dependent energy loss in both
-    the connect and merge techniques.  Default to 5x lpc (covers every
-    measured scene with slack), clamped to the worst case of
-    max_len - 1 storable vertices per path.  IMBA_CACHE_CAP_MULT
-    overrides (2 = the old truncating behaviour)."""
-    mult = float(os.environ.get("IMBA_CACHE_CAP_MULT", "5"))
+    dropped (light_vertices.cpp:15-129).  Because append fills in
+    bounce order, a 2x cap drops the DEEPEST bounces first (25-47% of
+    vertices on the cornell quality rows — results/r5_qrow_split.txt),
+    i.e. it acts as depth-capped admission.  Round 4 flipped the
+    default to a no-truncation 5x on the energy-loss argument; the
+    round-5 controls showed truncation WINS every tracked 30 s row —
+    the dropped deep-bounce vertices cost more variance than the
+    energy they carry, and fewer photons make merge frames faster:
+    r16 29.90 dB @ 3075 ms -> 30.36 @ 2527; parity 26.02 @ 3020 ->
+    26.75 @ 2396; water 25.82; bpt_org 36.0 -> 37.06 (its round-4
+    regression reverted) — results/r5_q_*_cap2.csv, chains 46/48.
+    The 1 h convergence gates pass either way (the asymptote is
+    radius-driven).  IMBA_CACHE_CAP_MULT overrides (5 = the round-4
+    no-truncation behaviour), clamped to max_len - 1 vertices/path."""
+    mult = float(os.environ.get("IMBA_CACHE_CAP_MULT", "2"))
     return max(int(min(mult, max(max_len - 1, 1)) * light_path_count), 1)
 
 
