@@ -696,7 +696,14 @@ _QLOG_COLS = 26  # pos 3 | normal 3 | gn 3 | w_out 3 | kind 1 | kd 3 |
 
 
 def _use_merge_defer() -> bool:
-    return os.environ.get("IMBA_MERGE_DEFER", "1") != "0"
+    """Measured on TPU (chain49, r5_q_*_defer.csv, same session):
+    deferral is estimator-exact (RMSE bit-identical both rows) and
+    saves 4% on the fat-radius r16 row (2428 vs 2535 ms/frame) but
+    LOSES ~45% on the radius-2.0 parity row (3479 vs 2396 ms/frame —
+    same compiled program, so the regression is data-dependent
+    pair-walk growth at fine grids).  Default OFF; opt in with
+    IMBA_MERGE_DEFER=1 for large-radius configs."""
+    return os.environ.get("IMBA_MERGE_DEFER", "0") == "1"
 
 
 def _shadow_sets(algo, techniques, num_connections) -> int:

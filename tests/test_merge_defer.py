@@ -97,6 +97,7 @@ def test_flush_matches_per_bounce_dispatches():
 def _render(scene, cam, monkeypatch, *, merge_kernel, **kw):
     if merge_kernel:
         monkeypatch.setattr(pallas_merge, "INTERPRET", True)
+        monkeypatch.setenv("IMBA_MERGE_DEFER", "1")  # opt-in since chain49
     return np.asarray(vcm_mod.render_vcm_frame(
         scene, cam, jnp.uint32(0), jnp.float32(0.05),
         merge_kernel=merge_kernel, **kw))
