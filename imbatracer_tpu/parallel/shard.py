@@ -357,12 +357,12 @@ def _merge_cache(global_cache: LightVertexCache,
 @partial(jax.jit, static_argnames=(
     "mesh", "algo", "num_pixels", "light_path_count", "max_len",
     "local_capacity", "has_masks", "has_bump", "max_steps", "techniques",
-    "band_paths",
+    "band_paths", "admit_cap",
 ))
 def _vcm_light_band_sharded(scene, cam, frame, base_radius, path_start, *,
                             mesh, algo, num_pixels, light_path_count,
                             max_len, local_capacity, has_masks, has_bump,
-                            max_steps, techniques, band_paths):
+                            max_steps, techniques, band_paths, admit_cap=0):
     """One sharded light band: every device traces `band_paths` paths into
     an empty local cache.  Returns (film (psum'd, replicated), local
     caches with leading shard axis)."""
@@ -385,6 +385,7 @@ def _vcm_light_band_sharded(scene, cam, frame, base_radius, path_start, *,
             has_bump=has_bump, alpha_fn=alpha_fn, max_steps=max_steps,
             techniques=techniques, path_start=my_start,
             band_paths=band_paths, cache_in=empty_cache(local_capacity),
+            admit_cap=admit_cap,
         )
         film = jax.lax.psum(film, RAY_AXIS)
         return film, cache.replace(count=cache.count[None])
@@ -638,7 +639,7 @@ def render_vcm_frame_sharded(
     num_pixels = width * height
     if light_path_count <= 0:
         light_path_count = num_pixels // 2
-    from ..render.integrators.vcm import auto_cache_capacity
+    from ..render.integrators.vcm import _per_path_cap, auto_cache_capacity
 
     if cache_capacity <= 0:
         cache_capacity = auto_cache_capacity(light_path_count, max_len)
@@ -666,15 +667,18 @@ def render_vcm_frame_sharded(
 
         band = min(band_rays(has_masks), light_path_count // n_dev)
         stride = band * n_dev
+        # GLOBAL per-path admission cap — schedule-invariant, so the
+        # sharded cache holds exactly the single-chip vertex set.
+        admit_cap = _per_path_cap(cache_capacity, light_path_count, max_len)
         cache = empty_cache(cache_capacity)
         for start in range(0, light_path_count, stride):
             # Remainders stay divisible by n_dev (count and stride both
             # are), so the tail band is exact.
             bp = min(band, (light_path_count - start) // n_dev)
-            # Per-shard band cache: same no-truncation sizing as the
-            # global default (a 2x band cap dropped deep-bounce vertices
-            # BEFORE the global merge ever saw them).
-            local_cap = max(auto_cache_capacity(bp, max_len), 1024)
+            # Per-shard band cache: a transport buffer sized so the
+            # band NEVER truncates locally (the global admission policy
+            # below decides what is kept) — max_len-1 slots per path.
+            local_cap = max(bp * max(max_len - 1, 1), 1024)
             light_film, shard_cache = _vcm_light_band_sharded(
                 scene, cam, frame, base_radius, jnp.int32(start),
                 mesh=mesh, algo=algo, num_pixels=num_pixels,
@@ -682,6 +686,7 @@ def render_vcm_frame_sharded(
                 local_capacity=local_cap, has_masks=has_masks,
                 has_bump=has_bump, max_steps=max_steps,
                 techniques=techniques, band_paths=bp,
+                admit_cap=admit_cap,
             )
             film = film + light_film
             cache = _merge_cache(cache, shard_cache, n_dev)

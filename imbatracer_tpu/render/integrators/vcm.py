@@ -121,11 +121,28 @@ def _vertex_from_rec(scene, rec_t):
 #  Light pass
 # ======================================================================
 
+def _per_path_cap(cache_capacity: int, light_path_count: int,
+                  max_len: int) -> int:
+    """Per-path vertex admission cap K (0 = unlimited).
+
+    K = capacity // light_path_count; when K can't bind (>= the
+    max_len - 1 storable vertices) or the config is degenerate, return
+    0 and the cache falls back to plain append-order truncation.  See
+    the flush-site comment in _light_pass for why admission must be a
+    per-lane rule."""
+    if light_path_count <= 0:
+        return 0
+    k = cache_capacity // light_path_count
+    if k <= 0 or k >= max(max_len - 1, 1):
+        return 0
+    return k
+
+
 def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
                 mis_eta_vm, *, algo, num_pixels, light_path_count, max_len,
                 cache_capacity, has_masks, has_bump, alpha_fn, max_steps=0,
                 techniques=TECHNIQUES, path_start=0, band_paths=0,
-                cache_in=None):
+                cache_in=None, admit_cap=-1):
     num_lights = scene.lights.kind.shape[0]
     L = band_paths if band_paths > 0 else light_path_count
     pdf_lightpick = 1.0 / num_lights
@@ -187,11 +204,19 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         d_vc=d_vc, d_vcm=d_vcm, d_vm=d_vm,
         state=state,
     )
+    # Admission cap: derived from THIS cache's sizing by default; the
+    # sharded driver overrides it with the GLOBAL (capacity, lpc) ratio
+    # — its per-shard band caches are transport buffers whose local size
+    # must not change the admission policy.
+    k_cap = (_per_path_cap(cache_capacity, light_path_count, max_len)
+             if admit_cap < 0 else admit_cap)
     if use_cache and flush_append:
         carry["vrec"] = jnp.zeros((max_len, L, 24), jnp.float32)
         carry["vstore"] = jnp.zeros((max_len, L), jnp.bool_)
     elif use_cache:
         carry["cache"] = cache0
+        if k_cap > 0:
+            carry["vcount"] = jnp.zeros((L,), jnp.int32)
     carry = jax.tree.map(_vary, carry)
     if use_cc:
         # Per-bounce camera-connection rows, logged and splatted ONCE
@@ -249,6 +274,10 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
                 out["vstore"] = jax.lax.dynamic_update_slice(
                     c["vstore"], store[None], (i, 0))
             else:
+                if "vcount" in c:
+                    # Per-path admission cap (see the flush-site note).
+                    store = store & (c["vcount"] < k_cap)
+                    out["vcount"] = c["vcount"] + store.astype(jnp.int32)
                 out["cache"] = append(
                     c["cache"], store, isect.pos, isect.w_out, isect.normal,
                     isect.gn, isect.uv, isect.mat_id, c["throughput"], d_vc,
@@ -310,10 +339,23 @@ def _light_pass(scene, cam: Camera, frame, pm_radius, base_radius, mis_eta_vc,
         # + fz: keep the output device-varying under shard_map.
         film = jnp.zeros((num_pixels, 3), jnp.float32) + fz
     if use_cache and flush_append:
+        vstore = out["vstore"]
+        if k_cap > 0:
+            # Per-path admission cap (capacity // light_path_count
+            # vertices per path): the schedule-INVARIANT form of cache
+            # truncation.  A global first-capacity-rows drop makes the
+            # surviving set depend on the light-band/shard schedule
+            # (and breaks the multi-chip bitwise property); admitting
+            # each path's first K vertices is a per-lane rule, fills at
+            # most K * lpc = capacity slots (append never truncates),
+            # and keeps the measured depth-capped-admission win
+            # (chains 46/48 — auto_cache_capacity docstring).
+            cum = jnp.cumsum(vstore.astype(jnp.int32), axis=0)
+            vstore = vstore & (cum <= k_cap)
         # One vectorised append of all logged bounces.  (max_len, L)
         # row-major = bounce-major path-minor — the exact order the
         # in-loop appends produced, so slot assignment is bit-identical.
-        cache = append_packed(cache0, out["vstore"].reshape(-1),
+        cache = append_packed(cache0, vstore.reshape(-1),
                               out["vrec"].reshape(-1, 24))
     elif use_cache:
         cache = out["cache"]
@@ -1139,7 +1181,15 @@ def auto_cache_capacity(light_path_count: int, max_len: int) -> int:
     regression reverted) — results/r5_q_*_cap2.csv, chains 46/48.
     The 1 h convergence gates pass either way (the asymptote is
     radius-driven).  IMBA_CACHE_CAP_MULT overrides (5 = the round-4
-    no-truncation behaviour), clamped to max_len - 1 vertices/path."""
+    no-truncation behaviour), clamped to max_len - 1 vertices/path.
+
+    Enforcement is a PER-PATH admission cap (each path stores its first
+    capacity // lpc vertices, _per_path_cap), not append-order
+    truncation: a global first-capacity-rows drop makes the surviving
+    vertex set depend on the light-band/shard schedule — it broke the
+    multi-chip bitwise property the moment the cache could overflow.
+    Per-path admission is a per-lane rule, schedule-invariant, and
+    never overflows the capacity."""
     mult = float(os.environ.get("IMBA_CACHE_CAP_MULT", "2"))
     return max(int(min(mult, max(max_len - 1, 1)) * light_path_count), 1)
 
