@@ -25,12 +25,9 @@ run() {
 }
 
 run python scripts/r5_big_split.py
-run env IMBA_PT_COMPACT=0 IMBA_SHADOW_DEFER=1 IMBA_BIG_ABLATE=0 \
-    python scripts/r5_big_split.py
 run env IMBA_PT_COMPACT=0 IMBA_SHADOW_DEFER=2 IMBA_BIG_ABLATE=0 \
     python scripts/r5_big_split.py
 run env IMBA_SHADOW_DEFER=1 python bench.py
-run env IMBA_SHADOW_DEFER=2 python bench.py
 
 echo "=== chain51 done $(date) ===" >> $LOG
 rm -f /tmp/chain51.pid
