@@ -28,6 +28,8 @@ run python tools/run_bench.py -t 300 --only 'still_life_pt_1080p$' \
     --proxies --curve-dir results/curves_r5 -o results/r5_northstar.csv
 run python tools/run_bench.py -t 30 --only 'cornell_vcm_r12$' \
     -o results/r5_final_r12.csv
+run python tools/run_bench.py -t 30 --only 'cornell_vcm_r16$' \
+    --sweep 'radius_factor=24' -o results/r5_final_r24.csv
 
 echo "=== chain55 done $(date) ===" >> $LOG
 rm -f /tmp/chain55.pid
