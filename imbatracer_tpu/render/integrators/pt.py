@@ -648,12 +648,25 @@ def _pt_phase1(
         count=band_pixels,
     )
     c = _init_carry(org, d, state)
+    defer = _use_shadow_defer()
+    if defer:
+        fz = 0.0 * c["radiance"][0, 0]
+        c["slog"] = jnp.zeros(
+            (_SLOG_COLS, bounces, org.shape[0]), jnp.float32) + fz
+        c["srow"] = jnp.int32(0) + 0 * c["depth"][0]
 
     def body(i, cc):
         return _pt_bounce(scene, cc, alpha_fn=alpha_fn, has_bump=has_bump,
                           max_len=max_len, max_steps=max_steps)
 
-    return jax.lax.fori_loop(0, bounces, body, c), pixel_id
+    out = jax.lax.fori_loop(0, bounces, body, c)
+    if defer:
+        # Flush phase-1 shadows BEFORE the carry compaction sort (the
+        # 3-D slog can't ride _compact_carry's lane sort).
+        out.pop("srow")
+        out["radiance"] = out["radiance"] + _resolve_slog(
+            scene, out.pop("slog"), alpha_fn=alpha_fn, max_steps=max_steps)
+    return out, pixel_id
 
 
 @partial(
@@ -665,12 +678,24 @@ def _pt_phase2(scene, c, *, max_len, has_masks, has_bump, max_steps, bounces):
     """Continue a (compacted) carry for the remaining `bounces`; the
     bounce body is depth-per-lane so mixed-progress lanes are fine."""
     alpha_fn = alpha_fn_for(scene) if has_masks else None
+    defer = _use_shadow_defer()
+    if defer:
+        c = dict(c)
+        fz = 0.0 * c["radiance"][0, 0]
+        c["slog"] = jnp.zeros(
+            (_SLOG_COLS, bounces, c["d"].shape[0]), jnp.float32) + fz
+        c["srow"] = jnp.int32(0) + 0 * c["depth"][0]
 
     def body(i, cc):
         return _pt_bounce(scene, cc, alpha_fn=alpha_fn, has_bump=has_bump,
                           max_len=max_len, max_steps=max_steps)
 
-    return jax.lax.fori_loop(0, bounces, body, c)
+    out = jax.lax.fori_loop(0, bounces, body, c)
+    if defer:
+        out.pop("srow")
+        out["radiance"] = out["radiance"] + _resolve_slog(
+            scene, out.pop("slog"), alpha_fn=alpha_fn, max_steps=max_steps)
+    return out
 
 
 @jax.jit

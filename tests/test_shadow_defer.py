@@ -75,6 +75,36 @@ def test_vcm_defer_matches_per_bounce(monkeypatch):
     np.testing.assert_allclose(a, c, rtol=2e-4, atol=2e-5)
 
 
+def test_pt_compact_defer_matches(monkeypatch):
+    """The compacted PT route (phase-1 flush before the lane sort +
+    per-band phase-2 flushes) must reproduce the banded per-bounce
+    frame."""
+    from imbatracer_tpu.render.camera import make_camera
+    from imbatracer_tpu.scene.procedural import make_cornell_scene
+
+    scene, meta = make_cornell_scene()
+    size = 24
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, size, size,
+                      60.0)
+
+    def frame(defer, compact):
+        monkeypatch.setenv("IMBA_SHADOW_DEFER", str(defer) if defer else "0")
+        monkeypatch.setenv("IMBA_PT_COMPACT", "1" if compact else "0")
+        monkeypatch.setenv("IMBA_PT_COMPACT_DEPTH", "2")
+        if compact:
+            monkeypatch.setattr(pt_mod, "BAND_RAYS", 192)
+        jax.clear_caches()
+        return np.asarray(pt_mod.render_pt_frame(
+            scene, cam, jnp.uint32(0), width=size, height=size, spp=1,
+            max_len=4))
+
+    a = frame(False, False)
+    b = frame(1, True)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    c = frame(2, True)
+    np.testing.assert_allclose(a, c, rtol=2e-4, atol=2e-5)
+
+
 def test_light_pass_cc_defer_matches(monkeypatch):
     """Light-pass camera connections: deferred cc occlusion (sclog) must
     reproduce the per-bounce any_hit — LT is pure light transport, so
