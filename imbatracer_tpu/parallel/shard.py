@@ -667,17 +667,21 @@ def render_vcm_frame_sharded(
 
         band = min(band_rays(has_masks), light_path_count // n_dev)
         stride = band * n_dev
-        # GLOBAL per-path admission cap — schedule-invariant, so the
-        # sharded cache holds exactly the single-chip vertex set.
-        admit_cap = _per_path_cap(cache_capacity, light_path_count, max_len)
-        cache = empty_cache(cache_capacity)
+        # Collect-then-select (single-chip render_vcm_frame, same
+        # constants): every vertex lands in a full-size transport cache
+        # and light_cache.select_shallowest keeps the canonical
+        # shallowest `cache_capacity` — so the sharded cache holds
+        # exactly the single-chip vertex set, bitwise.
+        full_cap = light_path_count * max(max_len - 1, 1)
+        collect_cap = max(cache_capacity,
+                          min(full_cap, 4 * cache_capacity))
+        cache = empty_cache(collect_cap)
         for start in range(0, light_path_count, stride):
             # Remainders stay divisible by n_dev (count and stride both
             # are), so the tail band is exact.
             bp = min(band, (light_path_count - start) // n_dev)
             # Per-shard band cache: a transport buffer sized so the
-            # band NEVER truncates locally (the global admission policy
-            # below decides what is kept) — max_len-1 slots per path.
+            # band NEVER truncates locally — max_len-1 slots per path.
             local_cap = max(bp * max(max_len - 1, 1), 1024)
             light_film, shard_cache = _vcm_light_band_sharded(
                 scene, cam, frame, base_radius, jnp.int32(start),
@@ -686,13 +690,15 @@ def render_vcm_frame_sharded(
                 local_capacity=local_cap, has_masks=has_masks,
                 has_bump=has_bump, max_steps=max_steps,
                 techniques=techniques, band_paths=bp,
-                admit_cap=admit_cap,
             )
             film = film + light_film
             cache = _merge_cache(cache, shard_cache, n_dev)
-        from ..render.light_cache import canonicalize
+        from ..render.light_cache import canonicalize, select_shallowest
 
-        cache = canonicalize(cache)
+        if collect_cap > cache_capacity:
+            cache = select_shallowest(cache, cache_capacity)
+        else:
+            cache = canonicalize(cache)
         if algo in ("vcm", "ppm"):
             grid = _vcm_build_grid(
                 cache, frame, base_radius, table_size=table_size,

@@ -67,7 +67,8 @@ from .. import hashgrid as hashgrid_mod
 from ..hashgrid import build_hash_grid
 from ..intersect import BIG
 from ..light_cache import (LightVertexCache, append, append_packed,
-                           canonicalize, empty_cache, pack_batch)
+                           canonicalize, empty_cache, pack_batch,
+                           select_shallowest)
 from ..surface import make_interaction
 from ..traverse import any_hit, closest_hit
 from .pt import alpha_fn_for, camera_rays
@@ -1088,7 +1089,7 @@ def _vcm_light_band(scene, cam, frame, base_radius, path_start, cache_in, *,
         max_len=max_len, cache_capacity=cache_capacity, has_masks=has_masks,
         has_bump=has_bump, alpha_fn=alpha_fn, max_steps=max_steps,
         techniques=techniques, path_start=path_start, band_paths=band_paths,
-        cache_in=cache_in,
+        cache_in=cache_in, admit_cap=0,
     )
 
 
@@ -1442,14 +1443,21 @@ def render_vcm_frame(
 
     if algo != "pt":
         lband = max(1, band_rays(has_masks))
-        cache = empty_cache(cache_capacity)
+        # Collect EVERY vertex into a full-size transport cache, then
+        # select the shallowest `cache_capacity` rows canonically
+        # (light_cache.select_shallowest): reproduces the measured
+        # depth-capped-admission win (bitwise the single-band
+        # append-order truncation set) under ANY band/shard schedule.
+        full_cap = light_path_count * max(max_len - 1, 1)
+        collect_cap = max(cache_capacity, min(full_cap, 4 * cache_capacity))
+        cache = empty_cache(collect_cap)
         for start in range(0, light_path_count, lband):
             bp = min(lband, light_path_count - start)
             light_film, cache = _vcm_light_band(
                 scene, cam, frame, base_radius, jnp.int32(start), cache,
                 algo=algo, num_pixels=num_pixels,
                 light_path_count=light_path_count, max_len=max_len,
-                cache_capacity=cache_capacity, has_masks=has_masks,
+                cache_capacity=collect_cap, has_masks=has_masks,
                 has_bump=has_bump, max_steps=max_steps, techniques=techniques,
                 band_paths=bp,
             )
@@ -1457,7 +1465,10 @@ def render_vcm_frame(
         # Canonical (path, bounce) cache order: makes the layout — and the
         # RNG-indexed vertex sampling downstream — independent of the
         # band/shard schedule (see light_cache.canonicalize).
-        cache = canonicalize(cache)
+        if collect_cap > cache_capacity:
+            cache = select_shallowest(cache, cache_capacity)
+        else:
+            cache = canonicalize(cache)
         if algo in ("vcm", "ppm"):
             grid = _vcm_build_grid(
                 cache, frame, base_radius, table_size=table_size,

@@ -16,6 +16,8 @@ plus throughput and the dVC/dVCM/dVM partial MIS weights.
 
 from __future__ import annotations
 
+from functools import partial
+
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -158,6 +160,38 @@ def append(cache: LightVertexCache, valid, pos, w_out, normal, gn, uv, mat_id,
         pack_batch(pos, w_out, normal, gn, uv, mat_id, throughput, d_vc,
                    d_vcm, d_vm, path_length, path_id),
     )
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def select_shallowest(cache: LightVertexCache,
+                      capacity: int) -> LightVertexCache:
+    """Canonical depth-capped admission: keep the first `capacity` valid
+    vertices in (path_length, path_id) order — EXACTLY the set a
+    bounce-major single-band append-order truncation keeps (that order
+    IS (bounce, lane)), but deterministic under ANY band/shard
+    schedule.  The light pass collects every vertex into a full-size
+    transport cache; this selects down to the working capacity before
+    grid build / connections.  Returns a `capacity`-size cache in the
+    canonical (path_id, path_length) layout (canonicalize)."""
+    if capacity >= cache.capacity:
+        return canonicalize(cache)
+    cap_in = cache.capacity
+    idx = jnp.arange(cap_in, dtype=jnp.int32)
+    valid = idx < cache.count
+    big = jnp.int32(2**31 - 1)
+    k1 = jnp.where(valid, cache.path_length, big)
+    k2 = jnp.where(valid, cache.path_id, big)
+    _, _, order = jax.lax.sort((k1, k2, idx), num_keys=2)
+    rec = cache.packed()[order[:capacity]]
+    bits = lambda col: jax.lax.bitcast_convert_type(rec[:, col], jnp.int32)
+    kept = LightVertexCache(
+        pos=rec[:, 0:3], w_out=rec[:, 3:6], normal=rec[:, 6:9],
+        gn=rec[:, 9:12], uv=rec[:, 12:14], mat_id=bits(14),
+        throughput=rec[:, 15:18], d_vc=rec[:, 18], d_vcm=rec[:, 19],
+        d_vm=rec[:, 20], path_length=bits(21), path_id=bits(22),
+        count=jnp.minimum(cache.count, capacity),
+    )
+    return canonicalize(kept)
 
 
 @jax.jit

@@ -13,10 +13,10 @@ LOG=results/r5_chain55.log
 echo $$ > /tmp/chain55.pid
 echo "=== chain55 queued $(date) ===" >> $LOG
 
-while kill -0 "$(cat /tmp/chain54.pid 2>/dev/null)" 2>/dev/null; do
+while kill -0 "$(cat /tmp/chain57.pid 2>/dev/null)" 2>/dev/null; do
   sleep 60
 done
-echo "=== chain54 done, starting $(date) ===" >> $LOG
+echo "=== chain57 done, starting $(date) ===" >> $LOG
 
 run() {
   echo "--- $* $(date) ---" >> $LOG

@@ -104,38 +104,39 @@ def test_cache_capacity_admission_contract(cornell, monkeypatch):
     base_radius = jnp.float32(
         estimate_pixel_size(scene, cam, meta) * 2.0)
 
-    def run(cap):
-        cache = empty_cache(cap)
+    def collect(collect_cap):
+        cache = empty_cache(collect_cap)
         _, cache = vcm_mod._vcm_light_band(
             scene, cam, jnp.uint32(0), base_radius, jnp.int32(0), cache,
             algo="vcm", num_pixels=SIZE * SIZE, light_path_count=lpc,
-            max_len=max_len, cache_capacity=cap, has_masks=False,
+            max_len=max_len, cache_capacity=collect_cap, has_masks=False,
             has_bump=False, max_steps=0, techniques=vcm_mod.TECHNIQUES,
             band_paths=lpc)
         return cache
 
-    # Default: 2x lpc, filled via per-path admission (never overflows).
-    cap = vcm_mod.auto_cache_capacity(lpc, max_len)
-    assert cap == 2 * lpc
-    c2 = run(cap)
-    assert 0 < int(c2.count) <= cap
-
-    # No-truncation override: every stored vertex survives, and the
-    # admitted default set is a per-path prefix of it.
-    monkeypatch.setenv("IMBA_CACHE_CAP_MULT", "5")
-    cap5 = vcm_mod.auto_cache_capacity(lpc, max_len)
-    assert cap5 > 2 * lpc
-    c5 = run(cap5)
-    assert int(c2.count) <= int(c5.count) < cap5
     import numpy as np
 
-    from imbatracer_tpu.render.light_cache import canonicalize
+    from imbatracer_tpu.render.light_cache import select_shallowest
 
-    a, b = canonicalize(c2), canonicalize(c5)
-    n = int(a.count)
-    # Each admitted (path, length) pair exists in the full set.
-    full = set(zip(np.asarray(b.path_id[: int(b.count)]).tolist(),
-                   np.asarray(b.path_length[: int(b.count)]).tolist()))
-    kept = set(zip(np.asarray(a.path_id[:n]).tolist(),
-                   np.asarray(a.path_length[:n]).tolist()))
-    assert kept <= full
+    # Production pipeline: collect everything, select the shallowest
+    # `cap` rows (render_vcm_frame does exactly this).
+    cap = vcm_mod.auto_cache_capacity(lpc, max_len)
+    assert cap == 2 * lpc
+    full = collect(lpc * (max_len - 1))
+    total = int(full.count)
+    assert total > cap  # the default genuinely binds on this scene
+    c2 = select_shallowest(full, cap)
+    assert int(c2.count) == cap
+
+    # No-truncation override: capacity stops binding and every
+    # collected vertex survives; the default set is a subset.
+    monkeypatch.setenv("IMBA_CACHE_CAP_MULT", "5")
+    cap5 = vcm_mod.auto_cache_capacity(lpc, max_len)
+    assert cap5 > 2 * lpc and total < cap5
+    c5 = select_shallowest(full, min(cap5, full.capacity))
+    assert int(c5.count) == total
+    kept = set(zip(np.asarray(c2.path_id[:cap]).tolist(),
+                   np.asarray(c2.path_length[:cap]).tolist()))
+    everything = set(zip(np.asarray(c5.path_id[:total]).tolist(),
+                         np.asarray(c5.path_length[:total]).tolist()))
+    assert kept <= everything
