@@ -29,6 +29,8 @@ run python tools/run_bench.py -t 30 --only 'cornell_vcm$' \
     -o results/r5_sel_vcm.csv
 run python tools/run_bench.py -t 30 --only 'cornell_bpt_org$' \
     -o results/r5_sel_bptorg.csv
+run python tools/run_bench.py -t 30 --only 'cornell_water_vcm$' \
+    -o results/r5_sel_water.csv
 
 echo "=== chain57 done $(date) ===" >> $LOG
 rm -f /tmp/chain57.pid
