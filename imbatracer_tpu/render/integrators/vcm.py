@@ -1443,13 +1443,24 @@ def render_vcm_frame(
 
     if algo != "pt":
         lband = max(1, band_rays(has_masks))
-        # Collect EVERY vertex into a full-size transport cache, then
-        # select the shallowest `cache_capacity` rows canonically
-        # (light_cache.select_shallowest): reproduces the measured
-        # depth-capped-admission win (bitwise the single-band
-        # append-order truncation set) under ANY band/shard schedule.
-        full_cap = light_path_count * max(max_len - 1, 1)
-        collect_cap = max(cache_capacity, min(full_cap, 4 * cache_capacity))
+        # Depth-capped admission, schedule-invariant: on a SINGLE light
+        # band the plain append-order truncation already keeps the
+        # canonical shallowest set (its append order IS (bounce, lane),
+        # bitwise-verified vs select_shallowest in
+        # tests/test_cache_admission.py), so the common configs pay
+        # zero machinery.  Multi-band schedules collect EVERY vertex
+        # into a full-size transport cache and select the canonical
+        # shallowest `cache_capacity` rows — the same set under any
+        # banding (chain57 measured the collect+select route ~+0.5 s
+        # on the 1024² quality rows, so it is gated to the schedules
+        # that need it).
+        num_lbands = -(-light_path_count // lband)
+        if num_lbands <= 1:
+            collect_cap = cache_capacity
+        else:
+            full_cap = light_path_count * max(max_len - 1, 1)
+            collect_cap = max(cache_capacity,
+                              min(full_cap, 4 * cache_capacity))
         cache = empty_cache(collect_cap)
         for start in range(0, light_path_count, lband):
             bp = min(lband, light_path_count - start)

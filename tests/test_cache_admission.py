@@ -31,6 +31,47 @@ def _collect(scene, cam, lpc, max_len, band):
     return cache
 
 
+def test_single_band_truncation_equals_selection():
+    """The license for the single-band fast path (render_vcm_frame):
+    append-order truncation on ONE light band keeps bitwise the same
+    canonical set select_shallowest does — its append order is
+    (bounce, lane) = the selection key."""
+    from imbatracer_tpu.render.camera import make_camera
+    from imbatracer_tpu.render.light_cache import canonicalize
+    from imbatracer_tpu.scene.procedural import make_cornell_scene
+
+    scene, meta = make_cornell_scene()
+    cam = make_camera(meta.cam_pos, meta.cam_dir, meta.cam_up, 16, 16, 60.0)
+    lpc, max_len = 256, 6
+    cap = vcm_mod.auto_cache_capacity(lpc, max_len)
+
+    def light(capacity):
+        cache = vcm_mod.empty_cache(capacity)
+        pm = jnp.float32(0.05)
+        from imbatracer_tpu.core.sampling import PI
+
+        eta = PI * 0.05 * 0.05 * lpc
+        _, cache = vcm_mod._light_pass(
+            scene, cam, jnp.uint32(0), pm, pm,
+            vcm_mod.mis_pow(1.0 / eta), vcm_mod.mis_pow(eta),
+            algo="vcm", num_pixels=256, light_path_count=lpc,
+            max_len=max_len, cache_capacity=capacity, has_masks=False,
+            has_bump=False, alpha_fn=None, path_start=jnp.int32(0),
+            band_paths=lpc, cache_in=cache, admit_cap=0)
+        return cache
+
+    old = canonicalize(light(cap))
+    new = select_shallowest(light(lpc * (max_len - 1)), cap)
+    n = int(old.count)
+    assert n == int(new.count) == cap
+    np.testing.assert_array_equal(np.asarray(old.path_id[:n]),
+                                  np.asarray(new.path_id[:n]))
+    np.testing.assert_array_equal(np.asarray(old.path_length[:n]),
+                                  np.asarray(new.path_length[:n]))
+    np.testing.assert_allclose(np.asarray(old.pos[:n]),
+                               np.asarray(new.pos[:n]), rtol=0, atol=0)
+
+
 def test_selection_is_band_invariant():
     from imbatracer_tpu.render.camera import make_camera
     from imbatracer_tpu.scene.procedural import make_cornell_scene
