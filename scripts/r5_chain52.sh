@@ -15,10 +15,10 @@ LOG=results/r5_chain52.log
 echo $$ > /tmp/chain52.pid
 echo "=== chain52 queued $(date) ===" >> $LOG
 
-while kill -0 "$(cat /tmp/chain55.pid 2>/dev/null)" 2>/dev/null; do
+while kill -0 "$(cat /tmp/chain58.pid 2>/dev/null)" 2>/dev/null; do
   sleep 60
 done
-echo "=== chain55 done, starting $(date) ===" >> $LOG
+echo "=== chain58 done, starting $(date) ===" >> $LOG
 
 run() {
   echo "--- $* $(date) ---" >> $LOG
