@@ -392,6 +392,22 @@ def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
         st = (jnp.int32(0), act, tmin, hit0)
         st = jax.lax.fori_loop(0, static_rounds, lambda _, s: body(s), st)
         return st[3]
+    if _os.environ.get("IMBA_MASK_HYBRID", "1") != "0":
+        # Hybrid schedule (round-5, exact): ONE static khit round —
+        # which resolves every lane whose nearest K hits contain an
+        # opaque one, i.e. virtually all of them on real content — then
+        # the unbounded while handles only the rare saturated leftovers
+        # (usually zero iterations).  chain52 attribution: the masked
+        # canopy frame costs 2477 ms with the while-only schedule vs
+        # 1639 with one static round (opaque parity 1677) — the +800 ms
+        # carry was the while STRUCTURE at frame scope (it serialises
+        # the dispatch pipeline), not the khit work.  Exactness is
+        # unchanged: body is a no-op on lanes without `need`, and the
+        # while still runs to completion for deep mask stacks
+        # (tests/test_masks.py deep-stack test covers it).
+        st = body((jnp.int32(0), act, tmin, hit0))
+        _, _, _, hit = jax.lax.while_loop(cond, body, st)
+        return hit
     _, _, _, hit = jax.lax.while_loop(
         cond, body, (jnp.int32(0), act, tmin, hit0))
     return hit
