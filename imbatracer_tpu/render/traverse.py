@@ -392,19 +392,17 @@ def _closest_hit_masked_khit(bvh, org, d, tmin, tmax, alpha_fn, active):
         st = (jnp.int32(0), act, tmin, hit0)
         st = jax.lax.fori_loop(0, static_rounds, lambda _, s: body(s), st)
         return st[3]
-    if _os.environ.get("IMBA_MASK_HYBRID", "1") != "0":
-        # Hybrid schedule (round-5, exact): ONE static khit round —
-        # which resolves every lane whose nearest K hits contain an
-        # opaque one, i.e. virtually all of them on real content — then
-        # the unbounded while handles only the rare saturated leftovers
-        # (usually zero iterations).  chain52 attribution: the masked
-        # canopy frame costs 2477 ms with the while-only schedule vs
-        # 1639 with one static round (opaque parity 1677) — the +800 ms
-        # carry was the while STRUCTURE at frame scope (it serialises
-        # the dispatch pipeline), not the khit work.  Exactness is
-        # unchanged: body is a no-op on lanes without `need`, and the
-        # while still runs to completion for deep mask stacks
-        # (tests/test_masks.py deep-stack test covers it).
+    if _os.environ.get("IMBA_MASK_HYBRID", "0") == "1":
+        # Hybrid schedule (exact): ONE static khit round, then the
+        # while handles saturated leftovers.  Measured NEUTRAL on the
+        # canopy (2431 vs 2469 ms, chain59) — the masked carry is the
+        # while ITERATIONS for saturated lanes, not the while's
+        # presence (chain52: static-1-only, which SKIPS those lanes
+        # inexactly, hits opaque parity 1639 vs 2477) — and the extra
+        # static call pushed the khit kernel's scoped VMEM 4 KiB over
+        # the 16 MiB limit on the 1080p masked compile (chain56 crash).
+        # Default OFF; the round-6 lever is a smaller dedicated khit
+        # block so K can rise and the saturated tail shrinks.
         st = body((jnp.int32(0), act, tmin, hit0))
         _, _, _, hit = jax.lax.while_loop(cond, body, st)
         return hit
